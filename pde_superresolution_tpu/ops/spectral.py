@@ -1,0 +1,65 @@
+"""Spectral (FFT) derivatives and filters on periodic 1-D domains.
+
+≈ pde_superresolution/duckarray.py §spectral_derivative, §smoothing_filter
+(unverified — see SURVEY.md provenance warning).
+
+All ops use ``rfft/irfft`` on the last axis and trace under jit; on TPU the
+FFTs lower to XLA's native FFT.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import jax.numpy as jnp
+
+
+def wavenumbers(size: int, period: float) -> np.ndarray:
+    """Angular wavenumbers ``2*pi*k/period`` for the rfft of a length-``size``
+    real signal. Returned as float64 numpy (setup-time constant)."""
+    return 2 * np.pi * np.fft.rfftfreq(size, d=period / size)
+
+
+def spectral_derivative(
+    u: jnp.ndarray, order: int, period: float, axis: int = -1
+) -> jnp.ndarray:
+    """Exact derivative of a band-limited periodic signal via FFT.
+
+    Multiplies by ``(i*k)**order`` in Fourier space. For odd orders the
+    Nyquist mode is zeroed (its derivative is pure-imaginary and cannot be
+    represented on the real grid; zeroing is the standard symmetric choice).
+    """
+    u = jnp.asarray(u)
+    if axis != -1:
+        u = jnp.moveaxis(u, axis, -1)
+    n = u.shape[-1]
+    k = wavenumbers(n, period)
+    mult = (1j * k) ** order  # setup-time numpy constant
+    if order % 2 and n % 2 == 0:
+        mult = mult.copy()
+        mult[-1] = 0
+    out = jnp.fft.irfft(jnp.fft.rfft(u) * mult, n=n).astype(u.dtype)
+    if axis != -1:
+        out = jnp.moveaxis(out, -1, axis)
+    return out
+
+
+def smoothing_filter(
+    u: jnp.ndarray, period: float, cutoff_fraction: float = 0.5, axis: int = -1
+) -> jnp.ndarray:
+    """Gaussian low-pass filter: attenuates modes above a fraction of Nyquist.
+
+    Multiplies spectrum by ``exp(-(k/k_c)**2)`` with
+    ``k_c = cutoff_fraction * k_nyquist``. Used to smooth random initial
+    conditions so the fine-grid exact solve is well resolved.
+    """
+    u = jnp.asarray(u)
+    if axis != -1:
+        u = jnp.moveaxis(u, axis, -1)
+    n = u.shape[-1]
+    k = wavenumbers(n, period)
+    k_c = cutoff_fraction * k[-1]
+    mult = np.exp(-((k / k_c) ** 2))
+    out = jnp.fft.irfft(jnp.fft.rfft(u) * mult, n=n).astype(u.dtype)
+    if axis != -1:
+        out = jnp.moveaxis(out, -1, axis)
+    return out

@@ -1,0 +1,162 @@
+"""Tests for PDE definitions (≈ reference equations_test.py)."""
+
+import numpy as np
+import pytest
+import jax
+import jax.numpy as jnp
+
+from pde_superresolution_tpu import equations, ops
+from pde_superresolution_tpu.grids import Grid
+
+
+def spectral_derivs(u, orders, period):
+    return {k: ops.spectral_derivative(u, k, period) for k in orders}
+
+
+def face_spectral(u, orders, grid):
+    """Spectral reconstruction at right faces x_{j+1/2} (exact shift)."""
+    n = grid.size
+    kvals = ops.wavenumbers(n, grid.period)
+    shift = np.exp(1j * kvals * grid.dx / 2)  # translate by +dx/2
+    out = {}
+    for d in orders:
+        mult = (1j * kvals) ** d * shift
+        out[d] = jnp.fft.irfft(jnp.fft.rfft(u) * mult, n=n).astype(u.dtype)
+    return out
+
+
+class TestRHSValues:
+    """Direct RHS with spectral derivatives matches closed forms."""
+
+    def test_burgers_rhs(self):
+        eq = equations.BurgersEquation(eta=0.05)
+        grid = Grid(128, eq.period)
+        x = grid.x
+        u = jnp.asarray(np.sin(x), dtype=jnp.float32)
+        derivs = spectral_derivs(u, eq.derivative_orders, eq.period)
+        ut = np.asarray(eq.time_derivative(u, derivs, grid))
+        expected = -np.sin(x) * np.cos(x) - 0.05 * np.sin(x)
+        np.testing.assert_allclose(ut, expected, atol=1e-4)
+
+    def test_kdv_rhs(self):
+        eq = equations.KdVEquation()
+        grid = Grid(256, eq.period)
+        k = 2 * np.pi * 2 / eq.period
+        x = grid.x
+        u = jnp.asarray(np.sin(k * x), dtype=jnp.float32)
+        derivs = spectral_derivs(u, eq.derivative_orders, eq.period)
+        ut = np.asarray(eq.time_derivative(u, derivs, grid))
+        expected = -6 * np.sin(k * x) * k * np.cos(k * x) + k**3 * np.cos(k * x)
+        np.testing.assert_allclose(ut, expected, atol=1e-3)
+
+    def test_ks_rhs(self):
+        eq = equations.KSEquation()
+        grid = Grid(256, eq.period)
+        k = 2 * np.pi * 3 / eq.period
+        x = grid.x
+        u = jnp.asarray(np.sin(k * x), dtype=jnp.float32)
+        derivs = spectral_derivs(u, eq.derivative_orders, eq.period)
+        ut = np.asarray(eq.time_derivative(u, derivs, grid))
+        expected = (
+            -np.sin(k * x) * k * np.cos(k * x)
+            + k**2 * np.sin(k * x)
+            - k**4 * np.sin(k * x)
+        )
+        np.testing.assert_allclose(ut, expected, atol=2e-3)
+
+
+class TestConservativeConsistency:
+    """Flux-divergence form ≡ direct form (with exact face reconstructions)."""
+
+    @pytest.mark.parametrize("name", ["burgers", "kdv", "ks"])
+    def test_flux_form_matches_direct(self, name):
+        eq_direct = equations.from_name(name)
+        eq_cons = equations.from_name(name, conservative=True)
+        grid = Grid(256, eq_direct.period)
+        k = 2 * np.pi * 2 / eq_direct.period
+        x = grid.x
+        u = jnp.asarray(np.sin(k * x) + 0.3 * np.cos(2 * k * x), dtype=jnp.float32)
+
+        derivs = spectral_derivs(u, eq_direct.derivative_orders, eq_direct.period)
+        ut_direct = np.asarray(eq_direct.time_derivative(u, derivs, grid))
+
+        faces = face_spectral(u, eq_cons.derivative_orders, grid)
+        ut_cons = np.asarray(eq_cons.time_derivative(u, faces, grid))
+        # second-order error from the discrete divergence of exact fluxes
+        np.testing.assert_allclose(ut_cons, ut_direct, atol=0.05, rtol=0.05)
+
+    def test_conservation(self):
+        """Flux form conserves the mean exactly (telescoping divergence)."""
+        eq = equations.from_name("ks", conservative=True)
+        grid = Grid(64, eq.period)
+        rng = np.random.RandomState(0)
+        u = jnp.asarray(rng.randn(64), dtype=jnp.float32)
+        faces = {d: jnp.asarray(rng.randn(64), dtype=jnp.float32) for d in eq.derivative_orders}
+        ut = np.asarray(eq.time_derivative(u, faces, grid))
+        assert abs(ut.mean()) < 1e-5
+
+
+class TestForcing:
+    def test_deterministic_under_seed(self):
+        eq = equations.BurgersEquation()
+        p1 = eq.sample_forcing(jax.random.PRNGKey(7))
+        p2 = eq.sample_forcing(jax.random.PRNGKey(7))
+        for a, b in zip(p1, p2):
+            np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+
+    def test_batch_shape(self):
+        eq = equations.BurgersEquation()
+        p = eq.sample_forcing(jax.random.PRNGKey(0), batch_shape=(4,))
+        assert p.amplitude.shape == (4, eq.num_forcing_terms)
+        grid = Grid(32, eq.period)
+        f = equations.forcing_term(p, jnp.asarray(grid.x, jnp.float32), 0.5, eq.period)
+        assert f.shape == (4, 32)
+
+    def test_unforced_returns_none(self):
+        assert equations.KSEquation().sample_forcing(jax.random.PRNGKey(0)) is None
+
+    def test_forcing_is_periodic(self):
+        eq = equations.BurgersEquation()
+        p = eq.sample_forcing(jax.random.PRNGKey(1))
+        x = jnp.asarray([0.0])
+        xL = jnp.asarray([eq.period])
+        f0 = np.asarray(equations.forcing_term(p, x, 1.3, eq.period))
+        fL = np.asarray(equations.forcing_term(p, xL, 1.3, eq.period))
+        np.testing.assert_allclose(f0, fL, atol=1e-4)
+
+    def test_wavenumber_range(self):
+        eq = equations.BurgersEquation()
+        p = eq.sample_forcing(jax.random.PRNGKey(3), batch_shape=(100,))
+        k = np.abs(np.asarray(p.k))
+        assert k.min() >= eq.forcing_k_min and k.max() <= eq.forcing_k_max
+
+
+class TestInitialConditions:
+    def test_shape_and_determinism(self):
+        eq = equations.KSEquation()
+        grid = Grid(128, eq.period)
+        u1 = eq.initial_conditions(jax.random.PRNGKey(0), grid, (3,))
+        u2 = eq.initial_conditions(jax.random.PRNGKey(0), grid, (3,))
+        assert u1.shape == (3, 128)
+        np.testing.assert_array_equal(np.asarray(u1), np.asarray(u2))
+
+    def test_band_limited(self):
+        eq = equations.KSEquation()
+        grid = Grid(256, eq.period)
+        u = np.asarray(eq.initial_conditions(jax.random.PRNGKey(1), grid))
+        spec = np.abs(np.fft.rfft(u))
+        assert spec[eq.ic_k_max + 1 :].max() < 1e-3 * max(spec.max(), 1e-9)
+
+
+class TestRegistry:
+    def test_from_name(self):
+        assert isinstance(equations.from_name("burgers"), equations.BurgersEquation)
+        assert equations.from_name("conservative_kdv").conservative
+        with pytest.raises(ValueError):
+            equations.from_name("navier_stokes")
+
+    def test_stable_time_steps_positive_and_scale_down(self):
+        for name in ["burgers", "kdv", "ks"]:
+            eq = equations.from_name(name)
+            fine, coarse = Grid(512, eq.period), Grid(64, eq.period)
+            assert 0 < eq.stable_time_step(fine) < eq.stable_time_step(coarse)
