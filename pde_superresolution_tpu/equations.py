@@ -186,6 +186,29 @@ class Equation:
         phase = 2 * np.pi * k[..., None] * x / self.period + phi[..., None]
         return jnp.sum(a[..., None] * jnp.sin(phase), axis=-2)
 
+    # --- spectral (Fourier-space) form, for exact ETDRK4 solves --------------
+    def linear_symbol(self, k: np.ndarray) -> np.ndarray:
+        """Diagonal symbol L(k) of the stiff linear part, for rfft modes ``k``
+        (angular wavenumbers). Setup-time float64/complex128 numpy.
+
+        The exact reference solver splits u_t = L u + N(u) and integrates L
+        exactly (ETDRK4) — the TPU-native replacement for the reference's
+        scipy-on-CPU stiff solves (≈ integrate.py §SpectralDifferentiator +
+        scipy, unverified).
+        """
+        raise NotImplementedError
+
+    def nonlinear_term(
+        self,
+        u: jnp.ndarray,
+        u_x: jnp.ndarray,
+        grid: Grid,
+        t: jnp.ndarray,
+        forcing: Optional[ForcingParams],
+    ) -> jnp.ndarray:
+        """Real-space nonlinear part N(u) (everything except ``linear_symbol``)."""
+        raise NotImplementedError
+
     # --- time-step control ----------------------------------------------------
     def stable_time_step(self, grid: Grid, u_scale: float = 2.0) -> float:
         """Conservative explicit-RK4 stable step for this equation on ``grid``.
@@ -223,6 +246,16 @@ class BurgersEquation(Equation):
     def flux(self, face_values):
         return 0.5 * face_values[0] ** 2 - self.eta * face_values[1]
 
+    def linear_symbol(self, k):
+        return -self.eta * k**2
+
+    def nonlinear_term(self, u, u_x, grid, t, forcing):
+        n = -u * u_x
+        if forcing is not None:
+            x = jnp.asarray(grid.x, dtype=u.dtype)
+            n = n + forcing_term(forcing, x, t, self.period)
+        return n
+
     def stable_time_step(self, grid: Grid, u_scale: float = 2.0) -> float:
         dx = grid.dx
         dt_adv = _advective_dt(dx, u_scale)
@@ -246,6 +279,13 @@ class KdVEquation(Equation):
 
     def flux(self, face_values):
         return 3.0 * face_values[0] ** 2 + face_values[2]
+
+    def linear_symbol(self, k):
+        # -u_xxx -> -(ik)^3 = +i k^3 (purely dispersive)
+        return 1j * k**3
+
+    def nonlinear_term(self, u, u_x, grid, t, forcing):
+        return -6.0 * u * u_x
 
     def stable_time_step(self, grid: Grid, u_scale: float = 2.0) -> float:
         dx = grid.dx
@@ -272,6 +312,13 @@ class KSEquation(Equation):
 
     def flux(self, face_values):
         return 0.5 * face_values[0] ** 2 + face_values[1] + face_values[3]
+
+    def linear_symbol(self, k):
+        # -u_xx - u_xxxx -> +k^2 - k^4
+        return k**2 - k**4
+
+    def nonlinear_term(self, u, u_x, grid, t, forcing):
+        return -u * u_x
 
     def stable_time_step(self, grid: Grid, u_scale: float = 2.0) -> float:
         dx = grid.dx

@@ -1,0 +1,373 @@
+"""Time integration: method-of-lines RK via lax.scan, ETDRK4 spectral solver.
+
+Rebuilds the capabilities of ``pde_superresolution/integrate.py``
+(§Differentiator, §SpectralDifferentiator, §PolynomialDifferentiator,
+§integrate, §integrate_exact — unverified citations, see SURVEY.md
+provenance warning), redesigned TPU-first:
+
+* The reference wraps a TF session in a numpy callable and hands it to a
+  scipy ODE integrator — thousands of host↔device round trips per
+  trajectory. Here the ENTIRE solve is one jitted ``lax.scan``: zero host
+  round trips, batched over trajectories with ``vmap``/sharding.
+* The reference's stiff "exact" solves (fine-grid spectral RHS through an
+  adaptive scipy integrator) are replaced by an ETDRK4 exponential
+  integrator (Kassam & Trefethen, SISC 2005 — public algorithm): the stiff
+  linear part (e.g. KS ``k^2 - k^4``) is integrated *exactly* in Fourier
+  space, so the step size is set by the nonlinearity, not the stiffness.
+  Coefficients are computed once in float64 numpy via contour integrals and
+  baked into the jitted graph.
+
+All integrators are pure functions: they broadcast over arbitrary leading
+batch dimensions and compose with jit/vmap/shard_map.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import functools
+from typing import Callable, Mapping, Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from pde_superresolution_tpu import stencils
+from pde_superresolution_tpu.equations import Equation, ForcingParams
+from pde_superresolution_tpu.grids import Grid
+from pde_superresolution_tpu.ops import spectral
+
+# RHS signature: (u, t) -> du/dt. Forcing params are closed over.
+RHSFn = Callable[[jnp.ndarray, jnp.ndarray], jnp.ndarray]
+
+
+# ---------------------------------------------------------------------------
+# Differentiators: schemes that turn u into spatial derivatives / an RHS.
+# ---------------------------------------------------------------------------
+
+
+class Differentiator:
+    """A spatial discretization scheme bound to (equation, grid).
+
+    Subclasses implement ``derivatives(u)`` returning
+    ``{order: array_like_u}`` — point derivatives for direct-form equations,
+    right-face reconstructions for conservative ones. ``rhs_fn`` closes over
+    optional forcing parameters and returns a jit-able ``(u, t) -> u_t``.
+
+    ≈ integrate.py §Differentiator (unverified), minus the TF-session
+    plumbing: here a Differentiator is pure and traceable end to end.
+    """
+
+    def __init__(self, equation: Equation, grid: Grid):
+        self.equation = equation
+        self.grid = grid
+
+    def derivatives(self, u: jnp.ndarray) -> Mapping[int, jnp.ndarray]:
+        raise NotImplementedError
+
+    def rhs_fn(self, forcing: Optional[ForcingParams] = None) -> RHSFn:
+        def rhs(u, t):
+            return self.equation.time_derivative(
+                u, self.derivatives(u), self.grid, t, forcing
+            )
+
+        return rhs
+
+
+class SpectralDifferentiator(Differentiator):
+    """Exact (band-limited) derivatives via FFT; the ground-truth scheme.
+
+    Always uses the direct (non-conservative) form of the equation —
+    spectral derivatives are exact, so the forms coincide.
+    ≈ integrate.py §SpectralDifferentiator (unverified).
+    """
+
+    def derivatives(self, u):
+        eq = self.equation
+        if eq.conservative:
+            eq = dataclasses.replace(eq, conservative=False)
+        return {
+            d: spectral.spectral_derivative(u, d, self.grid.period)
+            for d in eq.derivative_orders
+        }
+
+    def rhs_fn(self, forcing: Optional[ForcingParams] = None) -> RHSFn:
+        equation = self.equation
+        if equation.conservative:
+            equation = dataclasses.replace(equation, conservative=False)
+        grid = self.grid
+
+        def rhs(u, t):
+            derivs = {
+                d: spectral.spectral_derivative(u, d, grid.period)
+                for d in equation.derivative_orders
+            }
+            return equation.time_derivative(u, derivs, grid, t, forcing)
+
+        return rhs
+
+
+class PolynomialDifferentiator(Differentiator):
+    """Fixed classic polynomial stencils — the baseline scheme.
+
+    For direct-form equations: centered finite differences at points. For
+    conservative equations: finite-volume reconstructions at right faces
+    (staggered, cell-average interpretation).
+    ≈ integrate.py §PolynomialDifferentiator (unverified).
+    """
+
+    def __init__(
+        self,
+        equation: Equation,
+        grid: Grid,
+        accuracy_order: int = 2,
+        stencil_size: int | None = None,
+    ):
+        super().__init__(equation, grid)
+        self.accuracy_order = accuracy_order
+        staggered = equation.conservative
+        method = (
+            stencils.Method.FINITE_VOLUMES
+            if staggered
+            else stencils.Method.FINITE_DIFFERENCES
+        )
+        self._coeffs: dict[int, np.ndarray] = {}
+        self._offsets: dict[int, np.ndarray] = {}
+        for d in equation.derivative_orders:
+            size = stencil_size or baseline_stencil_size(d, accuracy_order, staggered)
+            offsets = stencils.stencil_offsets(size, staggered=staggered)
+            self._offsets[d] = offsets
+            self._coeffs[d] = stencils.coefficients(
+                offsets, method, d, accuracy_order=None, dx=grid.dx
+            )
+
+    def derivatives(self, u):
+        shift = -0.5 if self.equation.conservative else 0.0
+        return {
+            d: stencils.apply_stencil(
+                u, jnp.asarray(self._coeffs[d], dtype=u.dtype), self._offsets[d], shift
+            )
+            for d in self.equation.derivative_orders
+        }
+
+
+def baseline_stencil_size(
+    derivative_order: int, accuracy_order: int, staggered: bool
+) -> int:
+    """Smallest stencil achieving ``accuracy_order`` with the right parity.
+
+    Collocated stencils must be odd-sized (symmetric around the point);
+    staggered ones even-sized (symmetric around the face).
+    """
+    size = max(derivative_order + accuracy_order, derivative_order + 1)
+    if staggered:
+        return size + (size % 2)
+    return size if size % 2 else size + 1
+
+
+# ---------------------------------------------------------------------------
+# Explicit Runge-Kutta method-of-lines via lax.scan.
+# ---------------------------------------------------------------------------
+
+
+def rk4_step(rhs: RHSFn, u: jnp.ndarray, t: jnp.ndarray, dt: float) -> jnp.ndarray:
+    """One classic RK4 step (the reference product path's integrator)."""
+    k1 = rhs(u, t)
+    k2 = rhs(u + 0.5 * dt * k1, t + 0.5 * dt)
+    k3 = rhs(u + 0.5 * dt * k2, t + 0.5 * dt)
+    k4 = rhs(u + dt * k3, t + dt)
+    return u + (dt / 6.0) * (k1 + 2 * k2 + 2 * k3 + k4)
+
+
+def rk3_ssp_step(rhs: RHSFn, u: jnp.ndarray, t: jnp.ndarray, dt: float) -> jnp.ndarray:
+    """Strong-stability-preserving RK3 (Shu-Osher) — good with WENO."""
+    u1 = u + dt * rhs(u, t)
+    u2 = 0.75 * u + 0.25 * (u1 + dt * rhs(u1, t + dt))
+    return u / 3.0 + 2.0 / 3.0 * (u2 + dt * rhs(u2, t + 0.5 * dt))
+
+
+STEP_FUNCS = {"rk4": rk4_step, "rk3_ssp": rk3_ssp_step}
+
+
+def integrate(
+    rhs: RHSFn,
+    u0: jnp.ndarray,
+    dt: float,
+    num_steps: int,
+    save_every: int = 1,
+    t0: float = 0.0,
+    method: str = "rk4",
+) -> tuple[jnp.ndarray, jnp.ndarray]:
+    """Integrate ``du/dt = rhs(u, t)`` with a fixed step; save periodically.
+
+    One jitted double ``lax.scan`` (outer over saves, inner over substeps):
+    the whole trajectory runs on device with zero host round trips — the
+    replacement for the reference's scipy/odeint loop (SURVEY.md §3.1
+    "biggest TPU win").
+
+    Returns:
+      times: [num_saves + 1] (includes t0),
+      trajectory: [num_saves + 1, *u0.shape] (includes u0).
+    """
+    if num_steps % save_every:
+        raise ValueError(f"{num_steps=} not divisible by {save_every=}")
+    num_saves = num_steps // save_every
+    step = STEP_FUNCS[method]
+
+    def inner(carry, _):
+        u, t = carry
+        u = step(rhs, u, t, dt)
+        return (u, t + dt), None
+
+    def outer(carry, _):
+        carry, _ = jax.lax.scan(inner, carry, None, length=save_every)
+        return carry, carry[0]
+
+    (_, _), traj = jax.lax.scan(outer, (u0, jnp.asarray(t0, u0.dtype)), None, length=num_saves)
+    traj = jnp.concatenate([u0[None], traj], axis=0)
+    times = t0 + dt * save_every * jnp.arange(num_saves + 1)
+    return times, traj
+
+
+# ---------------------------------------------------------------------------
+# ETDRK4 spectral solver (exact reference solutions).
+# ---------------------------------------------------------------------------
+
+
+def _etdrk4_coefficients(
+    linear_symbol: np.ndarray, dt: float, n_contour: int = 64
+) -> dict[str, np.ndarray]:
+    """ETDRK4 scalar coefficient arrays via contour-integral averaging.
+
+    Follows Kassam & Trefethen (SISC 2005): evaluate the phi-function
+    combinations on a circle |z - L*dt| = 1 to avoid cancellation for small
+    |L*dt|. Works for real (dissipative) and imaginary (dispersive) symbols
+    by centering the contour at each L*dt value. float64/complex128 numpy,
+    computed once at setup.
+    """
+    z0 = np.asarray(linear_symbol, dtype=np.complex128) * dt
+    theta = (np.arange(n_contour) + 0.5) * (2 * np.pi / n_contour)
+    r = np.exp(1j * theta)  # contour offsets
+    z = z0[..., None] + r  # [modes, n_contour]
+
+    e_full = np.exp(z0)
+    e_half = np.exp(z0 / 2)
+    q = dt * np.mean((np.exp(z / 2) - 1) / z, axis=-1)
+    f1 = dt * np.mean((-4 - z + np.exp(z) * (4 - 3 * z + z**2)) / z**3, axis=-1)
+    f2 = dt * np.mean((2 + z + np.exp(z) * (-2 + z)) / z**3, axis=-1)
+    f3 = dt * np.mean((-4 - 3 * z - z**2 + np.exp(z) * (4 - z)) / z**3, axis=-1)
+    return {"e": e_full, "e2": e_half, "q": q, "f1": f1, "f2": f2, "f3": f3}
+
+
+@dataclasses.dataclass(frozen=True)
+class SpectralETDRK4:
+    """Jit-able ETDRK4 stepper for ``u_t = L u + N(u)`` on a periodic grid.
+
+    The linear symbol comes from ``equation.linear_symbol``; the
+    nonlinearity from ``equation.nonlinear_term`` evaluated in real space
+    with 2/3-rule dealiasing. State is the real field u (FFTs inside the
+    step), so it composes directly with ``integrate``-style scans and
+    resampling.
+    """
+
+    equation: Equation
+    grid: Grid
+    dt: float
+    coeffs: dict[str, np.ndarray]
+    dealias_mask: np.ndarray
+    k: np.ndarray
+
+    @classmethod
+    def create(cls, equation: Equation, grid: Grid, dt: float) -> "SpectralETDRK4":
+        k = spectral.wavenumbers(grid.size, grid.period)
+        lin = equation.linear_symbol(k)
+        coeffs = _etdrk4_coefficients(lin, dt)
+        n_modes = k.size
+        cutoff = (2 * (grid.size // 2)) // 3  # 2/3 rule on mode index
+        mask = (np.arange(n_modes) <= cutoff).astype(np.float64)
+        return cls(equation, grid, dt, coeffs, mask, k)
+
+    def _nonlinear_hat(self, v_hat, t, forcing):
+        """N(u) in Fourier space with dealiasing, from spectrum v_hat."""
+        mask = jnp.asarray(self.dealias_mask, dtype=v_hat.real.dtype)
+        v_hat = v_hat * mask
+        u = jnp.fft.irfft(v_hat, n=self.grid.size)
+        ik = jnp.asarray(1j * self.k, dtype=v_hat.dtype)
+        u_x = jnp.fft.irfft(v_hat * ik, n=self.grid.size)
+        n = self.equation.nonlinear_term(u, u_x, self.grid, t, forcing)
+        return jnp.fft.rfft(n) * mask
+
+    def step_hat(self, v_hat, t, forcing=None):
+        """One ETDRK4 step on the spectrum."""
+        c = {
+            name: jnp.asarray(arr, dtype=v_hat.dtype)
+            for name, arr in self.coeffs.items()
+        }
+        dt = self.dt
+        nv = self._nonlinear_hat(v_hat, t, forcing)
+        a = c["e2"] * v_hat + c["q"] * nv
+        na = self._nonlinear_hat(a, t + dt / 2, forcing)
+        b = c["e2"] * v_hat + c["q"] * na
+        nb = self._nonlinear_hat(b, t + dt / 2, forcing)
+        cc = c["e2"] * a + c["q"] * (2 * nb - nv)
+        nc = self._nonlinear_hat(cc, t + dt, forcing)
+        return c["e"] * v_hat + c["f1"] * nv + 2 * c["f2"] * (na + nb) + c["f3"] * nc
+
+
+def integrate_spectral(
+    equation: Equation,
+    grid: Grid,
+    u0: jnp.ndarray,
+    dt: float,
+    num_steps: int,
+    save_every: int = 1,
+    t0: float = 0.0,
+    forcing: Optional[ForcingParams] = None,
+) -> tuple[jnp.ndarray, jnp.ndarray]:
+    """Exact reference solve: ETDRK4 in Fourier space, saved in real space.
+
+    Replaces the reference's create_training_data hot loop (spectral RHS
+    through scipy's adaptive integrator with one session.run per RHS
+    evaluation) with a single on-device scan.
+
+    Returns (times [S+1], trajectory [S+1, *u0.shape]).
+    """
+    if num_steps % save_every:
+        raise ValueError(f"{num_steps=} not divisible by {save_every=}")
+    stepper = SpectralETDRK4.create(equation, grid, dt)
+    num_saves = num_steps // save_every
+    v0 = jnp.fft.rfft(u0)
+
+    def inner(carry, _):
+        v, t = carry
+        v = stepper.step_hat(v, t, forcing)
+        return (v, t + dt), None
+
+    def outer(carry, _):
+        carry, _ = jax.lax.scan(inner, carry, None, length=save_every)
+        return carry, carry[0]
+
+    (_, _), traj_hat = jax.lax.scan(
+        outer, (v0, jnp.asarray(t0, u0.dtype)), None, length=num_saves
+    )
+    traj_hat = jnp.concatenate([v0[None], traj_hat], axis=0)
+    traj = jnp.fft.irfft(traj_hat, n=grid.size).astype(u0.dtype)
+    times = t0 + dt * save_every * jnp.arange(num_saves + 1)
+    return times, traj
+
+
+def integrate_exact(
+    equation: Equation,
+    grid: Grid,
+    u0: jnp.ndarray,
+    dt: float,
+    num_steps: int,
+    save_every: int = 1,
+    **kwargs,
+) -> tuple[jnp.ndarray, jnp.ndarray]:
+    """Alias for the exact (spectral ETDRK4) solve — the ground-truth path.
+
+    ≈ integrate.py §integrate_exact (unverified).
+    """
+    return integrate_spectral(
+        equation, grid, u0, dt, num_steps, save_every, **kwargs
+    )
