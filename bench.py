@@ -1,0 +1,97 @@
+"""Benchmark: the north-star metric from BASELINE.md.
+
+Measures coarse-grid RK4 steps/sec/chip for the flagship configuration —
+the learned constrained-stencil KS model at 8x coarsening (fine 1024 ->
+coarse 128), batched over an ensemble of trajectories — and compares
+against the same jitted program on a single CPU device (the reference is a
+single-CPU TF1 pipeline; BASELINE.md targets >50x that).
+
+Prints ONE JSON line:
+  {"metric": ..., "value": N, "unit": "rk4_steps/s/chip", "vs_baseline": N}
+(vs_baseline = TPU steps/sec / single-CPU steps/sec, same batch & program.)
+"""
+
+import json
+import sys
+import time
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from pde_superresolution_tpu import equations, integrate
+from pde_superresolution_tpu.grids import Grid
+from pde_superresolution_tpu.models import ModelConfig, StencilModel
+
+BATCH = 256
+FINE = 1024
+FACTOR = 8
+INNER_STEPS = 100  # RK4 steps per timed device call
+
+
+def build():
+    eq = equations.from_name("ks", conservative=True)
+    coarse = Grid(FINE, eq.period).resample(FACTOR)
+    model = StencilModel(eq, coarse, ModelConfig(stencil_size=6))
+    params = model.init_params(jax.random.PRNGKey(0))
+    dt = eq.stable_time_step(coarse, u_scale=3.0)
+    rhs = model.rhs_fn(params)
+
+    def many_steps(u):
+        def body(carry, _):
+            u, t = carry
+            return (integrate.rk4_step(rhs, u, t, dt), t + dt), None
+
+        (u, _), _ = jax.lax.scan(body, (u, jnp.zeros((), u.dtype)), None,
+                                 length=INNER_STEPS)
+        return u
+
+    u0 = eq.initial_conditions(jax.random.PRNGKey(1), coarse, (BATCH,))
+    return many_steps, u0
+
+
+def steps_per_sec(device) -> float:
+    with jax.default_device(device):
+        many_steps, u0 = build()
+        fn = jax.jit(many_steps)
+        u0 = jax.device_put(u0, device)
+        u = fn(u0)
+        u.block_until_ready()  # compile + warm up
+        # pick repeats so the timed region is ~O(1s) on TPU, shorter on CPU
+        t0 = time.perf_counter()
+        fn(u0).block_until_ready()
+        once = time.perf_counter() - t0
+        repeats = max(1, int(0.5 / max(once, 1e-4)))
+        t0 = time.perf_counter()
+        for _ in range(repeats):
+            u = fn(u)
+        u.block_until_ready()
+        elapsed = time.perf_counter() - t0
+    if not bool(jnp.isfinite(u).all()):
+        print("WARNING: non-finite state at end of benchmark", file=sys.stderr)
+    return repeats * INNER_STEPS / elapsed
+
+
+def main():
+    tpu = jax.devices()[0]
+    tpu_sps = steps_per_sec(tpu)
+    print(f"TPU ({tpu.device_kind}): {tpu_sps:,.0f} RK4 steps/s "
+          f"(batch={BATCH}, nx={FINE//FACTOR})", file=sys.stderr)
+    try:
+        cpu = jax.devices("cpu")[0]
+        cpu_sps = steps_per_sec(cpu)
+        print(f"CPU: {cpu_sps:,.0f} RK4 steps/s", file=sys.stderr)
+        vs = tpu_sps / cpu_sps
+    except Exception as e:  # no CPU backend available
+        print(f"CPU baseline unavailable ({e}); vs_baseline=null", file=sys.stderr)
+        vs = None
+    print(json.dumps({
+        "metric": f"KS 8x learned-model coarse RK4 steps/sec/chip (batch {BATCH})",
+        "value": round(tpu_sps, 1),
+        "unit": "rk4_steps/s/chip",
+        "vs_baseline": round(vs, 2) if vs else None,
+    }))
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,196 @@
+"""Evaluation harness: exact vs baselines vs model, MAE and survival time.
+
+≈ pde_superresolution/scripts/run_evaluation.py + integrate.py
+§integrate_exact_baseline_and_model (unverified — see SURVEY.md). The
+reference integrates matched initial conditions through every scheme and
+writes an xarray Dataset (time, x) to netCDF; here the whole ensemble runs
+batched on device and results are plain arrays + an HDF5 writer (xarray is
+not available in this environment — SURVEY.md §7).
+
+Survival ("valid") time criterion — the reference's exact rule is unknown
+[MED]; we freeze an explicit, standard definition (configurable threshold):
+
+    survival_time = first time the Pearson correlation over x between the
+    scheme's solution and the coarse-grained exact solution drops below
+    ``correlation_threshold`` (default 0.8); once dead, always dead.
+
+This matches the common practice in the coarse-grained-PDE literature for
+chaotic systems (KS) and degrades gracefully for Burgers/KdV.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import typing
+from typing import Callable, Mapping, Optional
+
+import h5py
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from pde_superresolution_tpu import integrate
+from pde_superresolution_tpu.equations import Equation, ForcingParams
+from pde_superresolution_tpu.grids import Grid
+from pde_superresolution_tpu.ops import resample
+
+
+class EvalResult(typing.NamedTuple):
+    times: jnp.ndarray  # [T]
+    exact: jnp.ndarray  # [batch, T, nx_coarse]
+    trajectories: dict  # {scheme: [batch, T, nx_coarse]}
+    mae: dict  # {scheme: [batch, T]}
+    correlation: dict  # {scheme: [batch, T]}
+    survival_time: dict  # {scheme: [batch]}
+
+
+def pearson_correlation(a: jnp.ndarray, b: jnp.ndarray, axis: int = -1) -> jnp.ndarray:
+    a = a - a.mean(axis=axis, keepdims=True)
+    b = b - b.mean(axis=axis, keepdims=True)
+    num = (a * b).sum(axis=axis)
+    den = jnp.sqrt((a**2).sum(axis=axis) * (b**2).sum(axis=axis))
+    return num / jnp.maximum(den, 1e-12)
+
+
+def survival_time_from_correlation(
+    corr: jnp.ndarray, times: jnp.ndarray, threshold: float = 0.8
+) -> jnp.ndarray:
+    """First time corr drops below threshold (monotone: once dead, dead).
+
+    corr: [..., T]; returns [...] (the last alive time; times[-1] if never
+    dies, times[0] if dead on arrival).
+    """
+    alive = jnp.cumprod((corr >= threshold).astype(jnp.int32), axis=-1)
+    n_alive = alive.sum(axis=-1)
+    idx = jnp.clip(n_alive - 1, 0, times.shape[0] - 1)
+    return times[idx]
+
+
+def evaluate(
+    equation: Equation,
+    fine_grid: Grid,
+    resample_factor: int,
+    schemes: Mapping[str, Callable[[Optional[ForcingParams]], integrate.RHSFn]],
+    key: jax.Array,
+    num_samples: int,
+    time_max: float,
+    time_delta: float,
+    warmup_time: float = 0.0,
+    correlation_threshold: float = 0.8,
+    coarse_dt: Optional[float] = None,
+    exact_dt_cap: Optional[float] = None,
+    ic_scale: float = 1.0,
+) -> EvalResult:
+    """Integrate matched ICs through exact + every scheme; compute metrics.
+
+    Args:
+      schemes: name -> (forcing -> rhs_fn) factories, e.g.
+        ``{"baseline": lambda f: PolynomialDifferentiator(...).rhs_fn(f),
+           "model": lambda f: model.rhs_fn(params, f)}``. Conservative and
+        non-conservative schemes may be mixed: each is compared against the
+        matching coarse-graining of the exact solve (block mean if the
+        equation is conservative, subsample otherwise).
+      coarse_dt: coarse integrator step; defaults to an integer subdivision
+        of ``time_delta`` near the equation's stable step.
+    """
+    coarse = fine_grid.resample(resample_factor)
+    num_times = int(round(time_max / time_delta)) + 1
+
+    k_ic, k_f = jax.random.split(key)
+    u0 = ic_scale * equation.initial_conditions(k_ic, fine_grid, (num_samples,))
+    forcing = equation.sample_forcing(k_f, (num_samples,))
+
+    # exact fine solve
+    dt_cap = exact_dt_cap or 0.2 * fine_grid.dx
+    substeps = max(1, int(np.ceil(time_delta / dt_cap)))
+    dt_fine = time_delta / substeps
+    t0 = 0.0
+    if warmup_time > 0:
+        warm_steps = int(np.ceil(warmup_time / dt_fine))
+        _, warm = integrate.integrate_spectral(
+            equation, fine_grid, u0, dt_fine, warm_steps, save_every=warm_steps,
+            forcing=forcing,
+        )
+        u0 = warm[-1]
+        t0 = warm_steps * dt_fine
+    times, traj_fine = integrate.integrate_spectral(
+        equation,
+        fine_grid,
+        u0,
+        dt_fine,
+        (num_times - 1) * substeps,
+        save_every=substeps,
+        t0=t0,
+        forcing=forcing,
+    )  # [T, batch, nx_fine]
+
+    if equation.conservative:
+        coarsen = lambda f: resample.resample_mean(f, resample_factor)
+    else:
+        coarsen = lambda f: resample.subsample(f, resample_factor)
+    exact = jnp.swapaxes(coarsen(traj_fine), 0, 1)  # [batch, T, nx_c]
+    u0_coarse = coarsen(u0)
+
+    # coarse integrations
+    if coarse_dt is None:
+        stable = equation.stable_time_step(coarse, u_scale=3.0)
+        inner = max(1, int(np.ceil(time_delta / stable)))
+    else:
+        inner = max(1, int(round(time_delta / coarse_dt)))
+    dt_coarse = time_delta / inner
+
+    trajectories, mae, corr_d, surv = {}, {}, {}, {}
+    for name, factory in schemes.items():
+        rhs = factory(forcing)
+        _, traj = integrate.integrate(
+            rhs,
+            u0_coarse,
+            dt_coarse,
+            (num_times - 1) * inner,
+            save_every=inner,
+            t0=t0,
+        )
+        traj = jnp.swapaxes(traj, 0, 1)  # [batch, T, nx_c]
+        trajectories[name] = traj
+        mae[name] = jnp.abs(traj - exact).mean(axis=-1)
+        c = pearson_correlation(traj, exact)
+        c = jnp.where(jnp.isfinite(c), c, -1.0)  # NaN blowup = dead
+        corr_d[name] = c
+        surv[name] = survival_time_from_correlation(
+            c, times, correlation_threshold
+        )
+
+    return EvalResult(
+        times=times,
+        exact=exact,
+        trajectories=trajectories,
+        mae=mae,
+        correlation=corr_d,
+        survival_time=surv,
+    )
+
+
+def save_eval_h5(path: str, result: EvalResult) -> None:
+    """Persist an EvalResult (HDF5 stands in for the reference's netCDF)."""
+    with h5py.File(path, "w") as f:
+        f.create_dataset("times", data=np.asarray(result.times))
+        f.create_dataset("exact", data=np.asarray(result.exact))
+        for group_name in ("trajectories", "mae", "correlation", "survival_time"):
+            g = f.create_group(group_name)
+            for scheme, arr in getattr(result, group_name).items():
+                g.create_dataset(scheme, data=np.asarray(arr))
+
+
+def load_eval_h5(path: str) -> EvalResult:
+    with h5py.File(path, "r") as f:
+        read_group = lambda name: {
+            k: jnp.asarray(v[...]) for k, v in f[name].items()
+        }
+        return EvalResult(
+            times=jnp.asarray(f["times"][...]),
+            exact=jnp.asarray(f["exact"][...]),
+            trajectories=read_group("trajectories"),
+            mae=read_group("mae"),
+            correlation=read_group("correlation"),
+            survival_time=read_group("survival_time"),
+        )

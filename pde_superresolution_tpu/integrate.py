@@ -313,6 +313,39 @@ class SpectralETDRK4:
         return c["e"] * v_hat + c["f1"] * nv + 2 * c["f2"] * (na + nb) + c["f3"] * nc
 
 
+@functools.lru_cache(maxsize=128)
+def _spectral_run(
+    equation: Equation, grid: Grid, dt: float, num_steps: int, save_every: int
+):
+    """Build + cache the jitted full-trajectory ETDRK4 program.
+
+    Everything (initial rfft, the scan of steps, the final irfft) sits in ONE
+    jitted computation. Besides performance, this is required for
+    correctness on the axon TPU backend, where eager FFTs are UNIMPLEMENTED.
+    """
+    stepper = SpectralETDRK4.create(equation, grid, dt)
+    num_saves = num_steps // save_every
+
+    @jax.jit
+    def run(u0, t0, forcing):
+        v0 = jnp.fft.rfft(u0)
+
+        def inner(carry, _):
+            v, t = carry
+            v = stepper.step_hat(v, t, forcing)
+            return (v, t + dt), None
+
+        def outer(carry, _):
+            carry, _ = jax.lax.scan(inner, carry, None, length=save_every)
+            return carry, carry[0]
+
+        (_, _), traj_hat = jax.lax.scan(outer, (v0, t0), None, length=num_saves)
+        traj_hat = jnp.concatenate([v0[None], traj_hat], axis=0)
+        return jnp.fft.irfft(traj_hat, n=grid.size).astype(u0.dtype)
+
+    return run
+
+
 def integrate_spectral(
     equation: Equation,
     grid: Grid,
@@ -327,30 +360,17 @@ def integrate_spectral(
 
     Replaces the reference's create_training_data hot loop (spectral RHS
     through scipy's adaptive integrator with one session.run per RHS
-    evaluation) with a single on-device scan.
+    evaluation) with a single jitted on-device scan (cached per
+    (equation, grid, dt, steps) configuration).
 
     Returns (times [S+1], trajectory [S+1, *u0.shape]).
     """
     if num_steps % save_every:
         raise ValueError(f"{num_steps=} not divisible by {save_every=}")
-    stepper = SpectralETDRK4.create(equation, grid, dt)
+    run = _spectral_run(equation, grid, float(dt), num_steps, save_every)
+    u0 = jnp.asarray(u0)
+    traj = run(u0, jnp.asarray(t0, u0.dtype), forcing)
     num_saves = num_steps // save_every
-    v0 = jnp.fft.rfft(u0)
-
-    def inner(carry, _):
-        v, t = carry
-        v = stepper.step_hat(v, t, forcing)
-        return (v, t + dt), None
-
-    def outer(carry, _):
-        carry, _ = jax.lax.scan(inner, carry, None, length=save_every)
-        return carry, carry[0]
-
-    (_, _), traj_hat = jax.lax.scan(
-        outer, (v0, jnp.asarray(t0, u0.dtype)), None, length=num_saves
-    )
-    traj_hat = jnp.concatenate([v0[None], traj_hat], axis=0)
-    traj = jnp.fft.irfft(traj_hat, n=grid.size).astype(u0.dtype)
     times = t0 + dt * save_every * jnp.arange(num_saves + 1)
     return times, traj
 

@@ -1,0 +1,172 @@
+"""The learned-discretization model: conv net -> constrained stencils -> RHS.
+
+≈ pde_superresolution/model.py §predict_coefficients, §apply_coefficients,
+§predict_space_derivatives, §predict_time_derivative, §predict_flux,
+§baseline_space_derivatives (unverified citations — see SURVEY.md).
+
+Forward chain (SURVEY.md §3.3, the framework's inner kernel):
+
+    u (coarse, [batch, nx])
+    -> conv tower (periodic)                       [batch, nx, filters]
+    -> per-derivative heads z_d                    [batch, nx, free_dims]
+    -> PolynomialAccuracy: c_d = c0 + scale(z@N)   [batch, nx, stencil]
+    -> apply_stencil(u, c_d)                       [batch, nx]  per order d
+    -> equation.time_derivative                    u_t [batch, nx]
+
+For conservative equations the "derivatives" are face reconstructions
+(staggered stencils, index j = right face x_{j+1/2}) and the RHS is the
+conservative flux divergence — discrete conservation by construction.
+
+The constraint layers are biased at the classic stencils, and heads are
+zero-initialized, so an untrained model IS the polynomial baseline.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from typing import Mapping, Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from pde_superresolution_tpu import stencils
+from pde_superresolution_tpu.equations import Equation, ForcingParams
+from pde_superresolution_tpu.grids import Grid
+from pde_superresolution_tpu.models import conv_net
+
+
+@dataclasses.dataclass(frozen=True)
+class ModelConfig:
+    """Model hyperparameters (subset of the reference's hparams; ≈
+    training.py §create_hparams names, unverified)."""
+
+    num_layers: int = 3
+    filters: int = 32
+    kernel_size: int = 5
+    stencil_size: int = 7  # taps per derivative (even sizes for staggered)
+    polynomial_accuracy_order: int = 2
+    polynomial_accuracy_scale: float = 1.0  # multiplier on the default scale
+    # 0 disables the constraint layer: coefficients = classic + raw net output
+    constrained: bool = True
+
+    def tower(self) -> conv_net.ConvTowerConfig:
+        return conv_net.ConvTowerConfig(
+            num_layers=self.num_layers,
+            filters=self.filters,
+            kernel_size=self.kernel_size,
+        )
+
+
+class StencilModel:
+    """A learned discretization bound to (equation, coarse grid, config).
+
+    Static configuration (constraint projections, offsets) is built once in
+    float64 numpy; ``init_params``/``coefficients``/``derivatives``/``rhs_fn``
+    are pure and jit/vmap/shard-compatible.
+    """
+
+    def __init__(self, equation: Equation, grid: Grid, config: ModelConfig = ModelConfig()):
+        self.equation = equation
+        self.grid = grid
+        self.config = config
+        staggered = equation.conservative
+        size = config.stencil_size
+        if staggered and size % 2:
+            size += 1
+        if not staggered and size % 2 == 0:
+            size += 1
+        method = (
+            stencils.Method.FINITE_VOLUMES
+            if staggered
+            else stencils.Method.FINITE_DIFFERENCES
+        )
+        self._shift = -0.5 if staggered else 0.0
+        self.constraint_layers: dict[int, object] = {}
+        for d in equation.derivative_orders:
+            offsets = stencils.stencil_offsets(size, staggered=staggered)
+            classic = stencils.coefficients(
+                offsets, method, d, accuracy_order=None, dx=grid.dx
+            )
+            if config.constrained and config.polynomial_accuracy_order > 0:
+                # bias must satisfy the (grid-unit) constraint system; pass
+                # the classic grid-unit solution.
+                classic_grid = classic * grid.dx**d
+                layer = stencils.PolynomialAccuracy.create(
+                    offsets,
+                    method,
+                    d,
+                    config.polynomial_accuracy_order,
+                    dx=grid.dx,
+                    bias=classic_grid,
+                )
+                if config.polynomial_accuracy_scale != 1.0:
+                    layer = dataclasses.replace(
+                        layer, scale=layer.scale * config.polynomial_accuracy_scale
+                    )
+            else:
+                layer = stencils.FixedCoefficients(
+                    offsets=tuple(offsets.tolist()),
+                    derivative_order=d,
+                    c0=classic,
+                    scale=config.polynomial_accuracy_scale / grid.dx**d,
+                )
+            self.constraint_layers[d] = layer
+
+    # -- params ---------------------------------------------------------------
+    def init_params(self, key: jax.Array) -> dict:
+        head_dims = {
+            str(d): layer.free_dims for d, layer in self.constraint_layers.items()
+        }
+        return conv_net.conv_tower_init(key, self.config.tower(), head_dims)
+
+    # -- forward --------------------------------------------------------------
+    def coefficients(self, params: dict, u: jnp.ndarray) -> Mapping[int, jnp.ndarray]:
+        """Predicted constrained coefficients per derivative order.
+
+        Returns {order: [..., nx, stencil_size]}.
+        """
+        zs = conv_net.conv_tower_apply(params, u)
+        return {
+            d: layer(zs[str(d)]) for d, layer in self.constraint_layers.items()
+        }
+
+    def derivatives(self, params: dict, u: jnp.ndarray) -> Mapping[int, jnp.ndarray]:
+        """Predicted spatial derivatives (or face reconstructions)."""
+        coeffs = self.coefficients(params, u)
+        return {
+            d: stencils.apply_stencil(
+                u, coeffs[d], self.constraint_layers[d].offsets, self._shift
+            )
+            for d in coeffs
+        }
+
+    def baseline_derivatives(self, u: jnp.ndarray) -> Mapping[int, jnp.ndarray]:
+        """Same stencil layout with the classic coefficients (z = 0).
+
+        Used for loss normalization (≈ model.py §baseline_space_derivatives).
+        """
+        out = {}
+        for d, layer in self.constraint_layers.items():
+            c0 = jnp.asarray(layer.c0, dtype=u.dtype)
+            out[d] = stencils.apply_stencil(u, c0, layer.offsets, self._shift)
+        return out
+
+    def time_derivative(
+        self,
+        params: dict,
+        u: jnp.ndarray,
+        t: jnp.ndarray = 0.0,
+        forcing: Optional[ForcingParams] = None,
+    ) -> jnp.ndarray:
+        derivs = self.derivatives(params, u)
+        return self.equation.time_derivative(u, derivs, self.grid, t, forcing)
+
+    def rhs_fn(self, params: dict, forcing: Optional[ForcingParams] = None):
+        """(u, t) -> u_t closure matching the Differentiator protocol, so the
+        trained model plugs directly into ``integrate.integrate``."""
+
+        def rhs(u, t):
+            return self.time_derivative(params, u, t, forcing)
+
+        return rhs

@@ -1,0 +1,47 @@
+"""Device mesh construction and canonical shardings.
+
+Communication design (SURVEY.md §5): JAX/XLA collectives over ICI within a
+slice; ``psum`` for loss/grad reductions (inserted by GSPMD for the
+data-parallel training step), ``ppermute`` ring neighbor exchange for
+spatial stencil halos. Multi-host initialization goes through
+``jax.distributed.initialize()`` at process start (callers' responsibility;
+a no-op in single-process runs).
+"""
+
+from __future__ import annotations
+
+from typing import Optional, Sequence
+
+import jax
+import numpy as np
+
+DATA_AXIS = "data"
+SPACE_AXIS = "space"
+
+
+def make_mesh(
+    data: Optional[int] = None,
+    space: int = 1,
+    devices: Optional[Sequence[jax.Device]] = None,
+) -> jax.sharding.Mesh:
+    """Build a ("data", "space") mesh over the available devices.
+
+    Defaults: all devices on the data (trajectory) axis — the primary
+    parallel axis for this workload; spatial sharding is opt-in and only
+    pays off at extreme grid sizes (SURVEY.md §5).
+
+    The space axis is laid out as the minor (fastest-varying) mesh
+    dimension so ppermute halo neighbors are physically adjacent on the ICI
+    ring within a v5e slice.
+    """
+    devices = list(devices if devices is not None else jax.devices())
+    n = len(devices)
+    if data is None:
+        if n % space:
+            raise ValueError(f"{n} devices not divisible by space={space}")
+        data = n // space
+    need = data * space
+    if need > n:
+        raise ValueError(f"mesh {data}x{space} needs {need} devices, have {n}")
+    arr = np.asarray(devices[:need]).reshape(data, space)
+    return jax.sharding.Mesh(arr, (DATA_AXIS, SPACE_AXIS))

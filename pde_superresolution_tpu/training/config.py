@@ -1,0 +1,124 @@
+"""Configuration: dataclass hparams with reference-style string overrides.
+
+≈ pde_superresolution/training.py §create_hparams (tf.contrib HParams with
+``--hparams=key=value,...`` comma overrides — unverified, see SURVEY.md).
+Names follow the reference where recalled [MED]; everything is a plain
+dataclass so configs serialize to JSON inside checkpoints.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import json
+import typing
+
+from pde_superresolution_tpu.models.stencil_net import ModelConfig
+from pde_superresolution_tpu.training.losses import LossWeights
+
+
+@dataclasses.dataclass(frozen=True)
+class TrainingConfig:
+    # problem
+    equation: str = "burgers"
+    conservative: bool = True
+    resample_factor: int = 8
+    fine_size: int = 1024
+    # data generation
+    num_trajectories: int = 32
+    num_times: int = 128
+    time_delta: float = 0.1
+    warmup_time: float = 0.0
+    data_seed: int = 0
+    # model
+    model: ModelConfig = ModelConfig()
+    # loss
+    loss_weights: LossWeights = LossWeights()
+    num_time_steps: int = 4  # unrolled-loss steps (0 disables)
+    # coarse RK4 substeps per snapshot interval in the unrolled loss;
+    # 0 = auto from the equation's stable_time_step on the coarse grid
+    coarse_time_subsample: int = 0
+    # optimization (piecewise-constant LR ≈ learning_rates/learning_stops)
+    learning_rates: tuple = (1e-3, 1e-4)
+    learning_stops: tuple = (2000, 4000)  # steps at which each rate ENDS
+    batch_size: int = 128
+    frac_training: float = 0.8
+    eval_interval: int = 250
+    checkpoint_interval: int = 1000
+    grad_clip_norm: float = 1.0
+    seed: int = 0
+
+    @property
+    def num_steps(self) -> int:
+        return self.learning_stops[-1]
+
+    def to_json(self) -> str:
+        return json.dumps(dataclasses.asdict(self), default=list)
+
+    @classmethod
+    def from_json(cls, s: str) -> "TrainingConfig":
+        raw = json.loads(s)
+        raw["model"] = ModelConfig(**raw["model"])
+        raw["loss_weights"] = LossWeights(**raw["loss_weights"])
+        for k in ("learning_rates", "learning_stops"):
+            raw[k] = tuple(raw[k])
+        return cls(**raw)
+
+
+def _coerce(value: str, annotation) -> typing.Any:
+    # `from __future__ import annotations` makes field types plain strings.
+    ann = annotation if isinstance(annotation, str) else getattr(
+        annotation, "__name__", str(annotation)
+    )
+    if ann == "bool":
+        return value.lower() in ("1", "true", "yes")
+    if ann == "int":
+        return int(value)
+    if ann == "float":
+        return float(value)
+    if ann.startswith("tuple"):
+        return tuple(
+            float(v) if "." in v or "e" in v.lower() else int(v)
+            for v in value.split(";")
+        )
+    return value
+
+
+def parse_hparams(overrides: str, base: TrainingConfig | None = None) -> TrainingConfig:
+    """Apply reference-style comma overrides: ``key=value,key2=value2``.
+
+    Nested model/loss fields are addressed directly by name (all leaf names
+    are unique): e.g. ``filters=64,num_time_steps=8,conservative=false``.
+    Tuple values use ``;`` separators: ``learning_rates=1e-3;1e-4``.
+    """
+    config = base or TrainingConfig()
+    if not overrides:
+        return config
+    top = {f.name: f for f in dataclasses.fields(TrainingConfig)}
+    model_fields = {f.name: f for f in dataclasses.fields(ModelConfig)}
+    loss_fields = {f.name: f for f in dataclasses.fields(LossWeights)}
+    updates: dict = {}
+    model_updates: dict = {}
+    loss_updates: dict = {}
+    for item in overrides.split(","):
+        if not item.strip():
+            continue
+        key, _, value = item.partition("=")
+        key = key.strip()
+        value = value.strip()
+        if key in ("model", "loss_weights"):
+            raise ValueError(f"set nested fields directly, not {key!r}")
+        if key in top:
+            updates[key] = _coerce(value, top[key].type)
+        elif key in model_fields:
+            model_updates[key] = _coerce(value, model_fields[key].type)
+        elif key in loss_fields:
+            loss_updates[key] = _coerce(value, loss_fields[key].type)
+        else:
+            raise ValueError(f"unknown hparam {key!r}")
+    if model_updates:
+        updates["model"] = dataclasses.replace(config.model, **model_updates)
+    if loss_updates:
+        updates["loss_weights"] = dataclasses.replace(
+            config.loss_weights, **loss_updates
+        )
+    return dataclasses.replace(config, **updates)

@@ -1,0 +1,235 @@
+"""On-device training data generation and coarse-grained label construction.
+
+Replaces the reference's pipeline (scripts/create_training_data.py: scipy
+spectral solve on CPU -> HDF5 -> training.py §make_dataset label pipeline —
+unverified citations, see SURVEY.md) with a fully on-device path: ETDRK4
+exact solves, spectral labels, and coarse-graining all run jitted on the
+TPU; HDF5 import/export is kept for parity/interchange.
+
+Label conventions:
+  * non-conservative (finite differences): coarse-graining = subsample;
+    derivative labels are fine-grid spectral derivatives subsampled at the
+    coarse points.
+  * conservative (finite volumes): coarse-graining = block mean; derivative
+    labels are fine-grid spectral derivatives evaluated (via the Fourier
+    shift theorem) exactly at the coarse cell FACES x_{j+1/2}; the
+    time-derivative label is the block mean of the fine-grid RHS (exact, by
+    linearity).
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import typing
+from typing import Optional
+
+import h5py
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from pde_superresolution_tpu import integrate
+from pde_superresolution_tpu.equations import Equation, ForcingParams, from_name
+from pde_superresolution_tpu.grids import Grid
+from pde_superresolution_tpu.ops import resample, spectral
+
+
+class Snapshots(typing.NamedTuple):
+    """Fine-grid solution snapshots (≈ the reference's HDF5 dataset)."""
+
+    u: jnp.ndarray  # [num_trajectories, num_times, nx_fine]
+    times: jnp.ndarray  # [num_times]
+    forcing: Optional[ForcingParams]  # leaves [num_trajectories, terms]
+
+
+class TrainingData(typing.NamedTuple):
+    """Flattened (trajectory, time) samples with coarse inputs and labels."""
+
+    inputs: jnp.ndarray  # [n, nx_coarse]
+    t: jnp.ndarray  # [n]
+    forcing: Optional[ForcingParams]  # leaves [n, terms]
+    deriv_labels: dict  # {order: [n, nx_coarse]}
+    time_deriv_label: jnp.ndarray  # [n, nx_coarse]
+    rollout: jnp.ndarray  # [n, unroll_steps, nx_coarse] (unroll may be 0)
+
+    @property
+    def num_samples(self) -> int:
+        return self.inputs.shape[0]
+
+
+def generate_snapshots(
+    equation: Equation,
+    fine_grid: Grid,
+    key: jax.Array,
+    num_trajectories: int,
+    num_times: int,
+    time_delta: float,
+    warmup_time: float = 0.0,
+    ic_scale: float = 1.0,
+) -> Snapshots:
+    """Exact (spectral ETDRK4) solves sampled every ``time_delta``.
+
+    ``time_delta`` should be the coarse solver's step (or an integer multiple)
+    so that unrolled training losses line up with saved snapshots. The ETDRK4
+    internal step subdivides ``time_delta`` as needed for accuracy.
+    """
+    k_ic, k_f = jax.random.split(key)
+    u0 = ic_scale * equation.initial_conditions(k_ic, fine_grid, (num_trajectories,))
+    forcing = equation.sample_forcing(k_f, (num_trajectories,))
+
+    # Internal ETDRK4 step: the stiff linear part is exact at any step, so
+    # the step only needs to resolve the *nonlinear* (advective) dynamics:
+    # dt ~ 0.2 dx/u (Kassam-Trefethen used dt ≈ 0.3 dx for KS). Do NOT use
+    # stable_time_step here — its dx^4 explicit-RK4 bound would be absurd.
+    dt_cap = 0.2 * fine_grid.dx
+    substeps = max(1, int(np.ceil(time_delta / dt_cap)))
+    dt = time_delta / substeps
+
+    t0 = 0.0
+    if warmup_time > 0:
+        warm_steps = int(np.ceil(warmup_time / dt))
+        _, warm = integrate.integrate_spectral(
+            equation, fine_grid, u0, dt, warm_steps, save_every=warm_steps,
+            forcing=forcing,
+        )
+        u0 = warm[-1]
+        t0 = warm_steps * dt
+
+    num_steps = (num_times - 1) * substeps
+    times, traj = integrate.integrate_spectral(
+        equation,
+        fine_grid,
+        u0,
+        dt,
+        num_steps,
+        save_every=substeps,
+        t0=t0,
+        forcing=forcing,
+    )
+    # traj: [num_times, num_traj, nx] -> [num_traj, num_times, nx]
+    return Snapshots(u=jnp.swapaxes(traj, 0, 1), times=times, forcing=forcing)
+
+
+def build_training_data(
+    equation: Equation,
+    fine_grid: Grid,
+    snapshots: Snapshots,
+    resample_factor: int,
+    unroll_steps: int = 0,
+) -> TrainingData:
+    """Coarse inputs + spectral labels from fine snapshots (see module doc)."""
+    factor = resample_factor
+    coarse = fine_grid.resample(factor)
+    conservative = equation.conservative
+    u = snapshots.u  # [traj, times, nx_fine]
+    num_traj, num_times, _ = u.shape
+    usable = num_times - unroll_steps
+    if usable < 1:
+        raise ValueError(
+            f"need > {unroll_steps} snapshot times, got {num_times}"
+        )
+
+    if conservative:
+        coarsen = lambda f: resample.resample_mean(f, factor)
+    else:
+        coarsen = lambda f: resample.subsample(f, factor)
+
+    inputs_all = coarsen(u)  # [traj, times, nx_c]
+
+    # --- derivative labels ---------------------------------------------------
+    deriv_labels = {}
+    for d in equation.derivative_orders:
+        if conservative:
+            # exact value/derivative at coarse right faces:
+            # x = (j*factor + factor - 0.5) * dx_fine
+            offset = (factor - 0.5) * fine_grid.dx
+            shifted = spectral.spectral_derivative_at_offset(
+                u, d, fine_grid.period, offset
+            )
+            label = resample.subsample(shifted, factor)
+        else:
+            fine_deriv = spectral.spectral_derivative(u, d, fine_grid.period)
+            label = resample.subsample(fine_deriv, factor)
+        deriv_labels[d] = label[:, :usable]
+
+    # --- time-derivative label -------------------------------------------------
+    # vmap the exact spectral RHS over the time axis; the per-trajectory
+    # forcing (closed over) broadcasts against u_i [traj, nx].
+    rhs = integrate.SpectralDifferentiator(equation, fine_grid).rhs_fn(
+        snapshots.forcing
+    )
+    times = snapshots.times  # [num_times]
+    ut_fine = jax.vmap(rhs, in_axes=(1, 0), out_axes=1)(u, times)
+    time_deriv_label = coarsen(ut_fine)[:, :usable]
+
+    # --- rollout labels ----------------------------------------------------------
+    if unroll_steps > 0:
+        idx = jnp.arange(usable)[:, None] + jnp.arange(1, unroll_steps + 1)
+        rollout = inputs_all[:, idx]  # [traj, usable, K, nx_c]
+    else:
+        rollout = jnp.zeros((num_traj, usable, 0, coarse.size), inputs_all.dtype)
+
+    # --- flatten (traj, time) -> samples ---------------------------------------
+    def flat(a):
+        return a.reshape((num_traj * usable,) + a.shape[2:])
+
+    inputs = flat(inputs_all[:, :usable])
+    t_flat = jnp.tile(times[:usable], num_traj)
+    if snapshots.forcing is not None:
+        forcing_flat = jax.tree.map(
+            lambda leaf: jnp.repeat(leaf, usable, axis=0), snapshots.forcing
+        )
+    else:
+        forcing_flat = None
+    return TrainingData(
+        inputs=inputs,
+        t=t_flat,
+        forcing=forcing_flat,
+        deriv_labels={d: flat(v) for d, v in deriv_labels.items()},
+        time_deriv_label=flat(time_deriv_label),
+        rollout=flat(rollout),
+    )
+
+
+# ---------------------------------------------------------------------------
+# HDF5 interchange (reference-format parity: dataset 'v' of snapshots).
+# ---------------------------------------------------------------------------
+
+
+def save_snapshots_h5(
+    path: str, snapshots: Snapshots, equation: Equation, fine_grid: Grid
+) -> None:
+    """Write snapshots to HDF5 (dataset ``v`` [traj, times, nx] + attrs).
+
+    The reference stores a 2-D snapshot matrix (≈ create_training_data.py,
+    layout unverified); we store the trajectory axis explicitly and flatten
+    on demand for 2-D consumers.
+    """
+    with h5py.File(path, "w") as f:
+        f.create_dataset("v", data=np.asarray(snapshots.u))
+        f.create_dataset("times", data=np.asarray(snapshots.times))
+        f.attrs["equation"] = equation.name
+        f.attrs["conservative"] = equation.conservative
+        f.attrs["period"] = equation.period
+        f.attrs["fine_size"] = fine_grid.size
+        if snapshots.forcing is not None:
+            g = f.create_group("forcing")
+            for name, leaf in snapshots.forcing._asdict().items():
+                g.create_dataset(name, data=np.asarray(leaf))
+
+
+def load_snapshots_h5(path: str) -> tuple[Snapshots, Equation, Grid]:
+    with h5py.File(path, "r") as f:
+        u = jnp.asarray(f["v"][...])
+        times = jnp.asarray(f["times"][...])
+        forcing = None
+        if "forcing" in f:
+            forcing = ForcingParams(
+                **{k: jnp.asarray(v[...]) for k, v in f["forcing"].items()}
+            )
+        equation = from_name(
+            f.attrs["equation"],
+            conservative=bool(f.attrs["conservative"]),
+        )
+        grid = Grid(int(f.attrs["fine_size"]), float(f.attrs["period"]))
+    return Snapshots(u=u, times=times, forcing=forcing), equation, grid

@@ -1,0 +1,277 @@
+"""The training loop: optax Adam + piecewise LR, orbax checkpoints, JSONL logs.
+
+≈ pde_superresolution/training.py §training_loop (unverified — see
+SURVEY.md), redesigned TPU-first:
+
+  * one jitted ``train_step`` (loss + grads + optax update) — no session,
+    no feed dict; batches are sliced on device from a device-resident
+    dataset (the datasets here are tiny by TPU standards);
+  * checkpointing via orbax (params, opt_state, step, rng and the config
+    JSON), enabling exact resume;
+  * metrics stream to JSONL via utils.MetricsLogger.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import functools
+import os
+import typing
+from typing import Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import optax
+import orbax.checkpoint as ocp
+
+from pde_superresolution_tpu import integrate
+from pde_superresolution_tpu.equations import from_name
+from pde_superresolution_tpu.grids import Grid
+from pde_superresolution_tpu.models.stencil_net import StencilModel
+from pde_superresolution_tpu.training import data as data_lib
+from pde_superresolution_tpu.training import losses as loss_lib
+from pde_superresolution_tpu.training.config import TrainingConfig
+from pde_superresolution_tpu.utils.metrics import MetricsLogger
+
+
+class TrainState(typing.NamedTuple):
+    params: dict
+    opt_state: typing.Any
+    step: jnp.ndarray  # int32 scalar
+
+
+def make_optimizer(config: TrainingConfig) -> optax.GradientTransformation:
+    """Adam with the reference's piecewise-constant LR schedule."""
+    rates = list(config.learning_rates)
+    stops = list(config.learning_stops)
+    if len(rates) != len(stops):
+        raise ValueError("learning_rates and learning_stops must align")
+    schedule = optax.join_schedules(
+        [optax.constant_schedule(r) for r in rates],
+        boundaries=stops[:-1],
+    )
+    chain = []
+    if config.grad_clip_norm > 0:
+        chain.append(optax.clip_by_global_norm(config.grad_clip_norm))
+    chain.append(optax.adam(schedule))
+    return optax.chain(*chain)
+
+
+def _slice_batch(dataset: data_lib.TrainingData, idx: jnp.ndarray) -> data_lib.TrainingData:
+    take = lambda leaf: jnp.take(leaf, idx, axis=0)
+    return data_lib.TrainingData(
+        inputs=take(dataset.inputs),
+        t=take(dataset.t),
+        forcing=(
+            jax.tree.map(take, dataset.forcing)
+            if dataset.forcing is not None
+            else None
+        ),
+        deriv_labels={d: take(v) for d, v in dataset.deriv_labels.items()},
+        time_deriv_label=take(dataset.time_deriv_label),
+        rollout=take(dataset.rollout),
+    )
+
+
+def train(
+    config: TrainingConfig,
+    dataset: Optional[data_lib.TrainingData] = None,
+    checkpoint_dir: Optional[str] = None,
+    metrics_path: Optional[str] = None,
+    mesh: Optional[jax.sharding.Mesh] = None,
+) -> tuple[StencilModel, dict, dict]:
+    """Train a learned discretization end to end.
+
+    If ``dataset`` is None, snapshots are generated on device from the
+    config (exact ETDRK4 solves). Returns (model, params, final_metrics).
+
+    With ``mesh`` (axis name "data"), the dataset and every batch are
+    sharded over the trajectory/sample axis and gradients are reduced by
+    XLA collectives — plain data parallelism via sharded jit.
+    """
+    equation = from_name(config.equation, conservative=config.conservative)
+    fine = Grid(config.fine_size, equation.period)
+    coarse = fine.resample(config.resample_factor)
+    model = StencilModel(equation, coarse, config.model)
+
+    # --- data ----------------------------------------------------------------
+    if dataset is None:
+        key = jax.random.PRNGKey(config.data_seed)
+        snapshots = data_lib.generate_snapshots(
+            equation,
+            fine,
+            key,
+            num_trajectories=config.num_trajectories,
+            num_times=config.num_times,
+            time_delta=config.time_delta,
+            warmup_time=config.warmup_time,
+        )
+        dataset = data_lib.build_training_data(
+            equation,
+            fine,
+            snapshots,
+            config.resample_factor,
+            unroll_steps=config.num_time_steps,
+        )
+
+    n = dataset.num_samples
+    n_train = int(config.frac_training * n)
+    perm = np.random.RandomState(config.seed).permutation(n)
+    train_set = _slice_batch(dataset, jnp.asarray(perm[:n_train]))
+    eval_set = _slice_batch(dataset, jnp.asarray(perm[n_train:]))
+
+    substeps = config.coarse_time_subsample
+    if substeps == 0:  # auto: respect the coarse grid's explicit-RK4 CFL
+        stable = equation.stable_time_step(coarse, u_scale=3.0)
+        substeps = max(1, int(np.ceil(config.time_delta / stable)))
+    dt = config.time_delta  # snapshot spacing; inner step = dt / substeps
+    norms = loss_lib.compute_loss_norms(
+        model, train_set, config.num_time_steps, dt, substeps
+    )
+
+    # --- optimizer / state -----------------------------------------------------
+    tx = make_optimizer(config)
+    params = model.init_params(jax.random.PRNGKey(config.seed))
+    state = TrainState(params, tx.init(params), jnp.asarray(0, jnp.int32))
+
+    # --- sharding (optional DP over the sample axis) ----------------------------
+    if mesh is not None:
+        n_data = mesh.shape["data"]
+        if config.batch_size % n_data:
+            raise ValueError(
+                f"batch_size {config.batch_size} must be divisible by the "
+                f"mesh data axis ({n_data})"
+            )
+        # trim the eval split to a shardable multiple
+        n_eval = (eval_set.num_samples // n_data) * n_data
+        if n_eval == 0:
+            raise ValueError("eval split smaller than the mesh data axis")
+        eval_set = _slice_batch(eval_set, jnp.arange(n_eval))
+        batch_sharding = jax.sharding.NamedSharding(
+            mesh, jax.sharding.PartitionSpec("data")
+        )
+        replicated = jax.sharding.NamedSharding(
+            mesh, jax.sharding.PartitionSpec()
+        )
+        state = jax.device_put(state, replicated)
+        shard_batch = lambda b: jax.tree.map(
+            lambda leaf: jax.device_put(leaf, batch_sharding), b
+        )
+    else:
+        shard_batch = lambda b: b
+
+    loss_fn = functools.partial(
+        loss_lib.compute_loss,
+        model,
+        norms=norms,
+        weights=config.loss_weights,
+        dt=dt,
+        unroll_steps=config.num_time_steps,
+        substeps=substeps,
+    )
+
+    @jax.jit
+    def train_step(state: TrainState, batch: data_lib.TrainingData):
+        (_, parts), grads = jax.value_and_grad(
+            lambda p: loss_fn(p, batch), has_aux=True
+        )(state.params)
+        updates, opt_state = tx.update(grads, state.opt_state, state.params)
+        params = optax.apply_updates(state.params, updates)
+        return TrainState(params, opt_state, state.step + 1), parts
+
+    @jax.jit
+    def eval_step(params, batch):
+        _, parts = loss_fn(params, batch)
+        return parts
+
+    # --- checkpointing -----------------------------------------------------------
+    ckpt_mgr = None
+    if checkpoint_dir:
+        ckpt_mgr = ocp.CheckpointManager(
+            os.path.abspath(checkpoint_dir),
+            options=ocp.CheckpointManagerOptions(max_to_keep=3),
+        )
+        latest = ckpt_mgr.latest_step()
+        if latest is not None:
+            restored = ckpt_mgr.restore(
+                latest,
+                args=ocp.args.Composite(
+                    state=ocp.args.StandardRestore(state),
+                ),
+            )
+            state = restored["state"]
+
+    logger = MetricsLogger(metrics_path)
+    metrics = {}
+    start_step = int(state.step)
+    for step in range(start_step, config.num_steps):
+        # batch indices are a pure function of (seed, step) so that a resumed
+        # run replays exactly the batch stream of an uninterrupted one.
+        idx = np.random.RandomState(config.seed * 100003 + step).randint(
+            0, n_train, size=config.batch_size
+        )
+        batch = shard_batch(_slice_batch(train_set, jnp.asarray(idx)))
+        state, parts = train_step(state, batch)
+
+        if (step + 1) % config.eval_interval == 0 or step + 1 == config.num_steps:
+            eval_parts = eval_step(state.params, shard_batch(eval_set))
+            metrics = {
+                **{f"train_{k}": float(v) for k, v in parts.items()},
+                **{f"eval_{k}": float(v) for k, v in eval_parts.items()},
+            }
+            logger.log(step + 1, **metrics)
+        if ckpt_mgr and (
+            (step + 1) % config.checkpoint_interval == 0
+            or step + 1 == config.num_steps
+        ):
+            ckpt_mgr.save(
+                step + 1,
+                args=ocp.args.Composite(
+                    state=ocp.args.StandardSave(state),
+                    config=ocp.args.JsonSave(
+                        __import__("json").loads(config.to_json())
+                    ),
+                ),
+            )
+    if ckpt_mgr:
+        ckpt_mgr.wait_until_finished()
+        ckpt_mgr.close()
+    logger.close()
+    return model, state.params, metrics
+
+
+def restore_params(checkpoint_dir: str) -> dict:
+    """Restore the latest checkpoint's params (inference path)."""
+    mgr = ocp.CheckpointManager(os.path.abspath(checkpoint_dir))
+    step = mgr.latest_step()
+    if step is None:
+        raise FileNotFoundError(f"no checkpoint under {checkpoint_dir}")
+    restored = mgr.restore(step)
+    mgr.close()
+    return restored["state"]["params"]
+
+
+def load_model(checkpoint_dir: str) -> tuple[StencilModel, dict, TrainingConfig]:
+    """Rebuild (model, params, config) from a checkpoint directory.
+
+    The TPU-native counterpart of the reference's SavedModelDifferentiator
+    (≈ integrate.py §SavedModelDifferentiator, unverified): the returned
+    model's ``rhs_fn(params, forcing)`` plugs straight into
+    ``integrate.integrate``.
+    """
+    import json
+
+    mgr = ocp.CheckpointManager(os.path.abspath(checkpoint_dir))
+    step = mgr.latest_step()
+    if step is None:
+        raise FileNotFoundError(f"no checkpoint under {checkpoint_dir}")
+    restored = mgr.restore(step)
+    mgr.close()
+    config = TrainingConfig.from_json(json.dumps(restored["config"]))
+    equation = from_name(config.equation, conservative=config.conservative)
+    fine = Grid(config.fine_size, equation.period)
+    model = StencilModel(
+        equation, fine.resample(config.resample_factor), config.model
+    )
+    return model, restored["state"]["params"], config

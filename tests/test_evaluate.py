@@ -1,0 +1,116 @@
+"""Evaluation harness tests."""
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+
+from pde_superresolution_tpu import equations, evaluate, integrate
+from pde_superresolution_tpu.grids import Grid
+
+
+class TestMetrics:
+    def test_pearson_correlation(self):
+        rng = np.random.RandomState(0)
+        a = jnp.asarray(rng.randn(4, 32))
+        np.testing.assert_allclose(
+            np.asarray(evaluate.pearson_correlation(a, a)), 1.0, atol=1e-6
+        )
+        np.testing.assert_allclose(
+            np.asarray(evaluate.pearson_correlation(a, -a)), -1.0, atol=1e-6
+        )
+
+    def test_survival_time(self):
+        times = jnp.asarray([0.0, 1.0, 2.0, 3.0])
+        # dies at index 2, revives at 3 (must stay dead)
+        corr = jnp.asarray([[1.0, 0.9, 0.5, 0.95]])
+        got = evaluate.survival_time_from_correlation(corr, times, 0.8)
+        np.testing.assert_allclose(np.asarray(got), [1.0])
+        # never dies
+        corr = jnp.asarray([[1.0, 0.9, 0.85, 0.95]])
+        got = evaluate.survival_time_from_correlation(corr, times, 0.8)
+        np.testing.assert_allclose(np.asarray(got), [3.0])
+        # dead on arrival
+        corr = jnp.asarray([[0.1, 0.9, 0.85, 0.95]])
+        got = evaluate.survival_time_from_correlation(corr, times, 0.8)
+        np.testing.assert_allclose(np.asarray(got), [0.0])
+
+
+class TestEvaluateEndToEnd:
+    def test_burgers_baseline_vs_garbage(self, tmp_path):
+        # eta=0.05 keeps shocks resolved at n_fine=256 so the conservative
+        # baseline at 4x tracks the exact solve for the whole horizon.
+        eq = equations.BurgersEquation(eta=0.05, conservative=True)
+        fine = Grid(256, eq.period)
+
+        def baseline_factory(forcing):
+            return integrate.PolynomialDifferentiator(
+                eq, fine.resample(4)
+            ).rhs_fn(forcing)
+
+        def garbage_factory(forcing):
+            # exponentially amplifies a spatially-scrambled copy: decorrelates
+            # (a constant-in-x blowup would NOT — Pearson is shift-invariant)
+            return lambda u, t: 20.0 * jnp.roll(u, u.shape[-1] // 3, -1)
+
+        result = evaluate.evaluate(
+            eq,
+            fine,
+            resample_factor=4,
+            schemes={"baseline": baseline_factory, "garbage": garbage_factory},
+            key=jax.random.PRNGKey(0),
+            num_samples=2,
+            time_max=1.0,
+            time_delta=0.1,
+        )
+        assert result.exact.shape == (2, 11, 64)
+        assert result.mae["baseline"].shape == (2, 11)
+        # baseline survives the full horizon; garbage decorrelates early
+        surv_b = np.asarray(result.survival_time["baseline"])
+        surv_g = np.asarray(result.survival_time["garbage"])
+        assert (surv_b >= 0.9).all(), surv_b
+        assert (surv_g < surv_b).all(), (surv_g, surv_b)
+        # MAE at t=0 is ~0 (matched ICs)
+        assert np.asarray(result.mae["baseline"])[:, 0].max() < 1e-5
+
+        # h5 round trip
+        path = str(tmp_path / "eval.h5")
+        evaluate.save_eval_h5(path, result)
+        loaded = evaluate.load_eval_h5(path)
+        np.testing.assert_allclose(
+            np.asarray(loaded.mae["baseline"]),
+            np.asarray(result.mae["baseline"]),
+        )
+        np.testing.assert_array_equal(
+            np.asarray(loaded.survival_time["garbage"]),
+            np.asarray(result.survival_time["garbage"]),
+        )
+
+    def test_ks_with_warmup(self):
+        """KS: warmup lands on the attractor; baseline at 2x stays correlated
+        for a while; the trajectory is finite throughout."""
+        eq = equations.from_name("ks")
+        fine = Grid(256, eq.period)
+
+        def baseline_factory(forcing):
+            return integrate.PolynomialDifferentiator(
+                eq, fine.resample(2)
+            ).rhs_fn(forcing)
+
+        result = evaluate.evaluate(
+            eq,
+            fine,
+            resample_factor=2,
+            schemes={"baseline": baseline_factory},
+            key=jax.random.PRNGKey(1),
+            num_samples=2,
+            time_max=5.0,
+            time_delta=0.5,
+            warmup_time=40.0,  # KS transient from small ICs takes ~30-50 t.u.
+            ic_scale=0.1,
+        )
+        # after warmup the field is on the attractor: rms O(1)
+        rms = float(jnp.sqrt((result.exact[:, 0] ** 2).mean()))
+        assert 0.5 < rms < 4.0, rms
+        assert np.isfinite(np.asarray(result.exact)).all()
+        corr0 = np.asarray(result.correlation["baseline"])[:, 0]
+        np.testing.assert_allclose(corr0, 1.0, atol=1e-3)
