@@ -1,0 +1,82 @@
+"""Evaluate a trained model against exact + classical baselines.
+
+≈ pde_superresolution/scripts/run_evaluation.py §main (unverified — see
+SURVEY.md): restore checkpoint, integrate model + baselines + exact from
+matched initial conditions, write artifacts (HDF5 here; the reference used
+netCDF/xarray) with MAE curves and survival times.
+
+Example:
+  python -m pde_superresolution_tpu.scripts.run_evaluation \
+      --checkpoint_dir=/tmp/ckpt --output_path=/tmp/eval.h5 \
+      --num_samples=16 --time_max=10
+"""
+
+import numpy as np
+from absl import app, flags
+
+import jax
+
+from pde_superresolution_tpu import evaluate as eval_lib
+from pde_superresolution_tpu import integrate, weno
+from pde_superresolution_tpu.grids import Grid
+from pde_superresolution_tpu.training import loop as loop_lib
+
+FLAGS = flags.FLAGS
+
+flags.DEFINE_string("checkpoint_dir", None, "trained model checkpoint",
+                    required=True)
+flags.DEFINE_string("output_path", None, "HDF5 output path", required=True)
+flags.DEFINE_integer("num_samples", 16, "ensemble size (matched ICs)")
+flags.DEFINE_float("time_max", 10.0, "evaluation horizon")
+flags.DEFINE_float("time_delta", 0.1, "metric sampling interval")
+flags.DEFINE_float("warmup_time", 0.0, "attractor warmup (KS: ~40)")
+flags.DEFINE_float("correlation_threshold", 0.8,
+                   "survival-time correlation threshold")
+flags.DEFINE_integer("seed", 0, "evaluation seed")
+flags.DEFINE_float("ic_scale", 1.0, "initial-condition amplitude")
+
+
+def main(argv):
+    del argv
+    model, params, config = loop_lib.load_model(FLAGS.checkpoint_dir)
+    equation = model.equation
+    fine = Grid(config.fine_size, equation.period)
+    coarse = model.grid
+
+    schemes = {
+        "model": lambda forcing: model.rhs_fn(params, forcing),
+        "baseline": lambda forcing: integrate.PolynomialDifferentiator(
+            equation, coarse
+        ).rhs_fn(forcing),
+    }
+    if equation.name == "burgers":
+        schemes["weno"] = lambda forcing: weno.WENODifferentiator(
+            equation, coarse
+        ).rhs_fn(forcing)
+
+    result = eval_lib.evaluate(
+        equation,
+        fine,
+        config.resample_factor,
+        schemes,
+        key=jax.random.PRNGKey(FLAGS.seed),
+        num_samples=FLAGS.num_samples,
+        time_max=FLAGS.time_max,
+        time_delta=FLAGS.time_delta,
+        warmup_time=FLAGS.warmup_time,
+        correlation_threshold=FLAGS.correlation_threshold,
+        ic_scale=FLAGS.ic_scale,
+    )
+    eval_lib.save_eval_h5(FLAGS.output_path, result)
+    for name in schemes:
+        mae = float(np.mean(np.asarray(result.mae[name])[:, -1]))
+        surv = np.asarray(result.survival_time[name])
+        print(
+            f"{name:>10}: final MAE {mae:.4f} | survival "
+            f"median {np.median(surv):.2f} / mean {surv.mean():.2f} "
+            f"(horizon {FLAGS.time_max})"
+        )
+
+
+if __name__ == "__main__":
+    app.run(main)

@@ -1,0 +1,69 @@
+"""Train a learned discretization model.
+
+≈ pde_superresolution/scripts/run_training.py §main (unverified — see
+SURVEY.md): --input_path (HDF5 snapshots), --checkpoint_dir, --hparams
+comma-separated overrides -> training_loop. Without --input_path the
+snapshots are generated on device from the config (fully on-TPU pipeline).
+
+Example:
+  python -m pde_superresolution_tpu.scripts.run_training \
+      --checkpoint_dir=/tmp/ckpt \
+      --hparams=equation=ks,resample_factor=8,num_time_steps=4
+"""
+
+from absl import app, flags
+
+from pde_superresolution_tpu.training import config as config_lib
+from pde_superresolution_tpu.training import data as data_lib
+from pde_superresolution_tpu.training import loop as loop_lib
+
+FLAGS = flags.FLAGS
+
+flags.DEFINE_string("input_path", None,
+                    "HDF5 snapshots (optional; default: generate on device)")
+flags.DEFINE_string("checkpoint_dir", None, "checkpoint directory",
+                    required=True)
+flags.DEFINE_string("metrics_path", None,
+                    "JSONL metrics path (default: <checkpoint_dir>/metrics.jsonl)")
+flags.DEFINE_string("hparams", "", "comma-separated key=value overrides "
+                    "(tuples use ';': learning_rates=1e-3;1e-4)")
+flags.DEFINE_integer("data_parallel", 0,
+                     "shard training over this many devices (0 = single)")
+
+
+def main(argv):
+    del argv
+    config = config_lib.parse_hparams(FLAGS.hparams)
+    dataset = None
+    if FLAGS.input_path:
+        import dataclasses
+
+        snapshots, equation, fine = data_lib.load_snapshots_h5(FLAGS.input_path)
+        config = dataclasses.replace(
+            config,
+            equation=equation.name,
+            conservative=equation.conservative,
+            fine_size=fine.size,
+        )
+        dataset = data_lib.build_training_data(
+            equation, fine, snapshots, config.resample_factor,
+            unroll_steps=config.num_time_steps,
+        )
+    mesh = None
+    if FLAGS.data_parallel:
+        from pde_superresolution_tpu import parallel
+
+        mesh = parallel.make_mesh(data=FLAGS.data_parallel)
+    metrics_path = FLAGS.metrics_path or f"{FLAGS.checkpoint_dir}/metrics.jsonl"
+    _, _, metrics = loop_lib.train(
+        config,
+        dataset=dataset,
+        checkpoint_dir=FLAGS.checkpoint_dir,
+        metrics_path=metrics_path,
+        mesh=mesh,
+    )
+    print({k: round(v, 4) for k, v in metrics.items() if k.startswith("eval")})
+
+
+if __name__ == "__main__":
+    app.run(main)
