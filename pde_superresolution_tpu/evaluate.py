@@ -156,8 +156,9 @@ def evaluate(
         c = pearson_correlation(traj, exact)
         c = jnp.where(jnp.isfinite(c), c, -1.0)  # NaN blowup = dead
         corr_d[name] = c
+        # survival relative to the evaluation start (warmup excluded)
         surv[name] = survival_time_from_correlation(
-            c, times, correlation_threshold
+            c, times - times[0], correlation_threshold
         )
 
     return EvalResult(

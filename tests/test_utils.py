@@ -1,0 +1,59 @@
+"""Tests for profiling/debugging/metrics utilities."""
+
+import json
+
+import numpy as np
+import pytest
+import jax
+import jax.numpy as jnp
+
+from pde_superresolution_tpu.utils import debugging, profiling
+from pde_superresolution_tpu.utils.metrics import MetricsLogger
+
+
+class TestMetricsLogger:
+    def test_writes_jsonl(self, tmp_path):
+        path = str(tmp_path / "m.jsonl")
+        logger = MetricsLogger(path)
+        logger.log(1, loss=0.5, note="hi")
+        logger.log(2, loss=jnp.asarray(0.25))
+        logger.close()
+        lines = [json.loads(l) for l in open(path)]
+        assert lines[0]["step"] == 1 and lines[0]["loss"] == 0.5
+        assert lines[0]["note"] == "hi"
+        assert lines[1]["loss"] == 0.25
+
+    def test_none_path_noop(self):
+        logger = MetricsLogger(None)
+        logger.log(1, x=1.0)  # must not raise
+        logger.close()
+
+
+class TestBenchmarkFn:
+    def test_times_jitted_fn(self):
+        fn = jax.jit(lambda x: x * 2)
+        stats = profiling.benchmark_fn(fn, jnp.ones(16), repeats=3)
+        assert stats["best_s"] > 0
+        assert len(stats["runs"]) == 3
+
+    def test_timer(self):
+        with profiling.Timer() as t:
+            pass
+        assert t.elapsed >= 0
+
+
+class TestDebugging:
+    def test_checked_passes_clean(self):
+        fn = debugging.checked(jax.jit(lambda x: x + 1))
+        out = fn(jnp.ones(4))
+        np.testing.assert_allclose(np.asarray(out), 2.0)
+
+    def test_checked_catches_nan(self):
+        fn = debugging.checked(jax.jit(lambda x: jnp.log(x)))
+        with pytest.raises(Exception):
+            fn(jnp.asarray([-1.0]))
+
+    def test_assert_all_finite(self):
+        debugging.assert_all_finite({"a": jnp.ones(3)})
+        with pytest.raises(FloatingPointError):
+            debugging.assert_all_finite({"a": jnp.asarray([1.0, np.nan])})
