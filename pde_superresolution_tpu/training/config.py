@@ -28,6 +28,7 @@ class TrainingConfig:
     num_times: int = 128
     time_delta: float = 0.1
     warmup_time: float = 0.0
+    ic_scale: float = 1.0
     data_seed: int = 0
     # model
     model: ModelConfig = ModelConfig()

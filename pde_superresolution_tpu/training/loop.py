@@ -51,7 +51,9 @@ def make_optimizer(config: TrainingConfig) -> optax.GradientTransformation:
         [optax.constant_schedule(r) for r in rates],
         boundaries=stops[:-1],
     )
-    chain = []
+    chain = [optax.zero_nans()]  # a NaN batch (unstable rollout) must not
+    # permanently poison params — skip its update instead (clipping alone
+    # cannot: NaNs pass through a global-norm clip).
     if config.grad_clip_norm > 0:
         chain.append(optax.clip_by_global_norm(config.grad_clip_norm))
     chain.append(optax.adam(schedule))
@@ -106,6 +108,7 @@ def train(
             num_times=config.num_times,
             time_delta=config.time_delta,
             warmup_time=config.warmup_time,
+            ic_scale=config.ic_scale,
         )
         dataset = data_lib.build_training_data(
             equation,

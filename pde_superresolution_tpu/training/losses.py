@@ -82,11 +82,13 @@ def compute_loss_norms(
 
     int_norms = []
     if unroll_steps > 0:
-        base = integrate.PolynomialDifferentiator(model.equation, model.grid)
-
+        # the normalizing baseline must be the MODEL's own zero-z scheme
+        # (same stencil width): a narrower default baseline can be unstable
+        # where the model's classic stencils are not (e.g. FD KdV at 4x),
+        # which would poison the norms.
         def rhs(ut, t):
             return model.equation.time_derivative(
-                ut, base.derivatives(ut), model.grid, t, forcing
+                ut, model.baseline_derivatives(ut), model.grid, t, forcing
             )
 
         cur, t = u, data.t[:n]
