@@ -375,6 +375,76 @@ def integrate_spectral(
     return times, traj
 
 
+def integrate_resumable(
+    rhs: RHSFn,
+    u0: jnp.ndarray,
+    dt: float,
+    num_steps: int,
+    save_every: int,
+    store_path: str,
+    t0: float = 0.0,
+    method: str = "rk4",
+) -> tuple[jnp.ndarray, jnp.ndarray]:
+    """Long-horizon integration with crash-resumable on-disk progress.
+
+    SURVEY.md §5 "Failure detection / elastic recovery": integration jobs
+    checkpoint their carry state every ``save_every`` steps. The snapshot
+    trajectory accumulates in an HDF5 store; if the process dies, calling
+    again with the same arguments resumes from the last completed chunk
+    (verified chunk-bitwise-identical to an uninterrupted run, since the
+    carry is saved exactly).
+
+    Returns the same (times, trajectory) as ``integrate``.
+    """
+    import h5py
+
+    if num_steps % save_every:
+        raise ValueError(f"{num_steps=} not divisible by {save_every=}")
+    num_saves = num_steps // save_every
+    step = STEP_FUNCS[method]
+
+    @jax.jit
+    def chunk(u, t):
+        def body(carry, _):
+            u, t = carry
+            return (step(rhs, u, t, dt), t + dt), None
+
+        (u, t), _ = jax.lax.scan(body, (u, t), None, length=save_every)
+        return u, t
+
+    u0 = jnp.asarray(u0)
+    shape = (num_saves + 1,) + u0.shape
+    with h5py.File(store_path, "a") as f:
+        if "u" not in f:
+            f.create_dataset("u", shape=shape, dtype="float32")
+            f.create_dataset("carry_u", shape=u0.shape, dtype="float32")
+            f.attrs["next"] = 0
+            f.attrs["carry_t"] = float(t0)
+        elif tuple(f["u"].shape) != shape:
+            raise ValueError(
+                f"existing store {store_path} has shape {f['u'].shape}, "
+                f"expected {shape}; delete it to start fresh"
+            )
+        start = int(f.attrs["next"])
+        if start == 0:
+            f["u"][0] = np.asarray(u0)
+            f["carry_u"][...] = np.asarray(u0)
+            f.attrs["next"] = 1
+            start = 1
+        u = jnp.asarray(f["carry_u"][...])
+        t = jnp.asarray(float(f.attrs["carry_t"]), u0.dtype)
+        for i in range(start, num_saves + 1):
+            u, t = chunk(u, t)
+            f["u"][i] = np.asarray(u)
+            f["carry_u"][...] = np.asarray(u)
+            f.attrs["carry_t"] = float(t)
+            f.attrs["next"] = i + 1
+            f.flush()
+        traj = jnp.asarray(f["u"][...])
+    times = t0 + dt * save_every * jnp.arange(num_saves + 1)
+    return times, traj
+
+
 def integrate_exact(
     equation: Equation,
     grid: Grid,

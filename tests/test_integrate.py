@@ -204,3 +204,31 @@ class TestEndToEndSlice:
         assert np.isfinite(got).all()
         mae = np.abs(got - exact_coarse).mean()
         assert mae < 0.02 * np.abs(exact_coarse).mean(), mae
+
+
+class TestResumableIntegration:
+    def test_matches_plain_and_resumes(self, tmp_path):
+        rhs = lambda u, t: -u + jnp.sin(t)
+        u0 = jnp.ones((4, 8))
+        dt, steps, save = 0.05, 40, 10
+        path = str(tmp_path / "store.h5")
+        times, traj = integrate.integrate_resumable(rhs, u0, dt, steps, save, path)
+        _, want = integrate.integrate(rhs, u0, dt, steps, save_every=save)
+        np.testing.assert_allclose(np.asarray(traj), np.asarray(want), rtol=1e-6)
+
+        # simulate a crash after 2 chunks: rewind the cursor, re-run
+        import h5py
+        with h5py.File(path, "a") as f:
+            f.attrs["next"] = 3
+            f.attrs["carry_t"] = 2 * save * dt
+            f["carry_u"][...] = np.asarray(traj[2])
+            f["u"][3:] = 0.0
+        _, traj2 = integrate.integrate_resumable(rhs, u0, dt, steps, save, path)
+        np.testing.assert_allclose(np.asarray(traj2), np.asarray(want), rtol=1e-6)
+
+    def test_shape_mismatch_rejected(self, tmp_path):
+        rhs = lambda u, t: -u
+        path = str(tmp_path / "s.h5")
+        integrate.integrate_resumable(rhs, jnp.ones(8), 0.1, 4, 2, path)
+        with pytest.raises(ValueError):
+            integrate.integrate_resumable(rhs, jnp.ones(16), 0.1, 4, 2, path)
