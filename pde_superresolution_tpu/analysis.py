@@ -61,10 +61,13 @@ def report(result: EvalResult, reference_scheme: str = "exact") -> str:
     surv = survival_summary(result)
     horizon = float(np.asarray(result.times)[-1] - np.asarray(result.times)[0])
     for name in sorted(result.mae):
-        m = np.asarray(result.mae[name])
+        final = np.asarray(result.mae[name])[:, -1]
+        finite = np.isfinite(final)
+        mae = final[finite].mean() if finite.any() else float("nan")
+        note = f" [{int((~finite).sum())} diverged]" if (~finite).any() else ""
         s = surv[name]
         lines.append(
-            f"{name:>12}: MAE final {m[:, -1].mean():.4f} | "
+            f"{name:>12}: MAE final {mae:.4f}{note} | "
             f"survival median {s['median']:.2f} (IQR {s['q25']:.2f}-"
             f"{s['q75']:.2f}) of horizon {horizon:.1f}"
         )

@@ -69,10 +69,13 @@ def main(argv):
     )
     eval_lib.save_eval_h5(FLAGS.output_path, result)
     for name in schemes:
-        mae = float(np.mean(np.asarray(result.mae[name])[:, -1]))
+        final = np.asarray(result.mae[name])[:, -1]
+        finite = np.isfinite(final)
+        mae = float(final[finite].mean()) if finite.any() else float("nan")
         surv = np.asarray(result.survival_time[name])
+        diverged = f" [{int((~finite).sum())}/{finite.size} diverged]" if (~finite).any() else ""
         print(
-            f"{name:>10}: final MAE {mae:.4f} | survival "
+            f"{name:>10}: final MAE {mae:.4f}{diverged} | survival "
             f"median {np.median(surv):.2f} / mean {surv.mean():.2f} "
             f"(horizon {FLAGS.time_max})"
         )
