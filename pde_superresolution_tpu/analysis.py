@@ -8,8 +8,6 @@ operating on ``evaluate.EvalResult`` / the HDF5 artifacts it saves.
 
 from __future__ import annotations
 
-from typing import Mapping
-
 import numpy as np
 
 from pde_superresolution_tpu.evaluate import EvalResult, load_eval_h5  # noqa: F401

@@ -20,7 +20,6 @@ chaotic systems (KS) and degrades gracefully for Burgers/KdV.
 
 from __future__ import annotations
 
-import dataclasses
 import typing
 from typing import Callable, Mapping, Optional
 

@@ -162,11 +162,58 @@ class StencilModel:
         derivs = self.derivatives(params, u)
         return self.equation.time_derivative(u, derivs, self.grid, t, forcing)
 
-    def rhs_fn(self, params: dict, forcing: Optional[ForcingParams] = None):
+    def rhs_fn(
+        self,
+        params: dict,
+        forcing: Optional[ForcingParams] = None,
+        use_pallas: Optional[bool] = None,
+    ):
         """(u, t) -> u_t closure matching the Differentiator protocol, so the
-        trained model plugs directly into ``integrate.integrate``."""
+        trained model plugs directly into ``integrate.integrate``.
+
+        Args:
+          use_pallas: fuse the stencil-apply + flux-divergence into the
+            Mosaic kernel (ops/pallas_kernels.make_fused_rhs) for tileable
+            [batch, nx] shapes (batch%8==0, nx%128==0), XLA fallback
+            otherwise. Measured: bit-exact and ~1.24x faster than XLA on v5e
+            (KS 8x, batch 1024). Default (None) is currently the pure-XLA
+            path: this environment's axon tunnel intermittently wedges on
+            Mosaic kernel launches (see DECISIONS.md #15), and a hung
+            unattended benchmark is worse than 24% throughput. Pass True to
+            opt in on healthy TPU hardware.
+        """
+        if use_pallas is None:
+            use_pallas = False
+        if not use_pallas:
+            def rhs(u, t):
+                return self.time_derivative(params, u, t, forcing)
+
+            return rhs
+
+        from pde_superresolution_tpu.equations import forcing_term
+        from pde_superresolution_tpu.ops import pallas_kernels as pk
+
+        offsets_map = {
+            d: layer.offsets for d, layer in self.constraint_layers.items()
+        }
+        # NOTE: the kernel is always built unforced and the forcing term is
+        # added outside (XLA fuses the elementwise add). Passing the forcing
+        # field as an extra kernel input hangs at runtime on this
+        # environment's axon Mosaic backend (deterministically — the
+        # interpret-mode path is fine), so the in-kernel `forced` variant is
+        # not used on hardware.
+        fused = pk.make_fused_rhs(
+            self.equation, self.grid, offsets_map, self._shift, forced=False
+        )
+        x = jnp.asarray(self.grid.x, dtype=jnp.float32)
 
         def rhs(u, t):
-            return self.time_derivative(params, u, t, forcing)
+            if u.ndim != 2 or not pk.kernel_supported(*u.shape):
+                return self.time_derivative(params, u, t, forcing)
+            coeffs = self.coefficients(params, u)
+            u_t = fused(u, coeffs)
+            if forcing is not None:
+                u_t = u_t + forcing_term(forcing, x, t, self.equation.period)
+            return u_t
 
         return rhs

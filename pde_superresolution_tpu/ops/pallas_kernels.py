@@ -35,7 +35,6 @@ and the tests require exact agreement (same op order, same dtype).
 
 from __future__ import annotations
 
-import functools
 from typing import Mapping, Optional, Sequence
 
 import jax

@@ -14,7 +14,6 @@ fit on one chip; shard the trajectory batch instead.
 
 from __future__ import annotations
 
-import functools
 from typing import Optional
 
 import jax
@@ -22,7 +21,7 @@ import jax.numpy as jnp
 import numpy as np
 from jax.sharding import PartitionSpec as P
 
-from pde_superresolution_tpu import integrate, stencils
+from pde_superresolution_tpu import integrate
 from pde_superresolution_tpu.equations import Equation, ForcingParams, forcing_term
 from pde_superresolution_tpu.grids import Grid
 from pde_superresolution_tpu.models import conv_net
@@ -108,7 +107,7 @@ def sharded_baseline_rhs(
     def rhs(u, t):
         u_spec, x_spec, f_spec = _specs(mesh, u.ndim, forcing is not None)
         fn = jax.shard_map(
-            functools.partial(local_rhs),
+            local_rhs,
             mesh=mesh,
             in_specs=(u_spec, x_spec, P(), f_spec),
             out_specs=u_spec,

@@ -17,7 +17,6 @@ import numpy as np
 from absl import app, flags
 
 import jax
-import jax.numpy as jnp
 
 from pde_superresolution_tpu import analysis, integrate
 from pde_superresolution_tpu.training import loop as loop_lib

@@ -19,7 +19,6 @@ Label conventions:
 
 from __future__ import annotations
 
-import dataclasses
 import typing
 from typing import Optional
 

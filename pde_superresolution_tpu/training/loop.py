@@ -13,7 +13,6 @@ SURVEY.md), redesigned TPU-first:
 
 from __future__ import annotations
 
-import dataclasses
 import functools
 import os
 import typing

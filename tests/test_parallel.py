@@ -154,3 +154,27 @@ class TestDataParallelTraining:
                 np.asarray(a), np.asarray(b), rtol=1e-4, atol=1e-5
             )
         assert abs(m_dp["eval_total"] - m_single["eval_total"]) < 1e-3
+
+
+class TestGSPMDAutoSharding:
+    def test_space_sharded_rhs_via_auto_partitioning(self):
+        """The plain (roll-based) model RHS under jit with inputs sharded
+        over ("data","space") must equal the unsharded result — GSPMD
+        auto-inserts collective permutes for the periodic rolls; no
+        shard_map needed on the inference path."""
+        eq = equations.from_name("ks", conservative=True)
+        grid = Grid(64, eq.period)
+        mesh = parallel.make_mesh(data=2, space=4)
+        model = StencilModel(
+            eq, grid, ModelConfig(num_layers=2, filters=8, stencil_size=6)
+        )
+        params = jax.tree.map(
+            lambda leaf: 0.1 * jax.random.normal(jax.random.PRNGKey(1), leaf.shape),
+            model.init_params(jax.random.PRNGKey(0)),
+        )
+        u = eq.initial_conditions(jax.random.PRNGKey(2), grid, (4,))
+        rhs = jax.jit(model.rhs_fn(params, use_pallas=False))
+        want = np.asarray(rhs(u, 0.0))
+        u_sh = jax.device_put(u, NamedSharding(mesh, P("data", "space")))
+        got = np.asarray(rhs(u_sh, 0.0))
+        np.testing.assert_allclose(got, want, rtol=1e-4, atol=1e-5)
