@@ -1,0 +1,89 @@
+"""Resample-factor sweep: the paper's headline figure as a CLI.
+
+Trains a learned discretization at each coarsening factor and evaluates it
+against the exact solve, the polynomial baseline, and (Burgers) WENO5 —
+producing the accuracy-vs-coarsening table of Bar-Sinai et al. Fig. 2/3.
+
+Example:
+  python -m pde_superresolution_tpu.scripts.run_sweep \
+      --equation=burgers --factors=4,8,16,32 --output_path=/tmp/sweep.jsonl
+"""
+
+import json
+
+import numpy as np
+from absl import app, flags
+
+import jax
+
+from pde_superresolution_tpu import evaluate as eval_lib
+from pde_superresolution_tpu import integrate, weno
+from pde_superresolution_tpu.grids import Grid
+from pde_superresolution_tpu.training import config as config_lib
+from pde_superresolution_tpu.training import loop as loop_lib
+
+FLAGS = flags.FLAGS
+
+flags.DEFINE_string("equation", "burgers", "equation name")
+flags.DEFINE_list("factors", ["4", "8", "16", "32"], "resample factors")
+flags.DEFINE_string("hparams", "", "extra hparam overrides applied to every run")
+flags.DEFINE_string("output_path", None, "optional JSONL results path")
+flags.DEFINE_integer("num_eval_samples", 16, "eval ensemble size")
+flags.DEFINE_float("eval_time_max", 3.0, "eval horizon")
+flags.DEFINE_float("eval_warmup", 0.0, "eval warmup (KS: ~40)")
+
+
+def main(argv):
+    del argv
+    base = config_lib.parse_hparams(FLAGS.hparams)
+    records = []
+    for factor in [int(f) for f in FLAGS.factors]:
+        config = config_lib.parse_hparams(
+            f"equation={FLAGS.equation},resample_factor={factor}", base
+        )
+        model, params, metrics = loop_lib.train(config)
+        equation = model.equation
+        fine = Grid(config.fine_size, equation.period)
+        schemes = {
+            "model": lambda forcing, m=model, p=params: m.rhs_fn(p, forcing),
+            "baseline": lambda forcing, m=model: integrate.PolynomialDifferentiator(
+                equation, m.grid
+            ).rhs_fn(forcing),
+        }
+        if equation.name == "burgers":
+            schemes["weno"] = lambda forcing, m=model: weno.WENODifferentiator(
+                equation, m.grid
+            ).rhs_fn(forcing)
+        result = eval_lib.evaluate(
+            equation,
+            fine,
+            factor,
+            schemes,
+            key=jax.random.PRNGKey(12345),
+            num_samples=FLAGS.num_eval_samples,
+            time_max=FLAGS.eval_time_max,
+            time_delta=config.time_delta,
+            warmup_time=FLAGS.eval_warmup,
+            ic_scale=config.ic_scale,
+        )
+        record = {"factor": factor, "eval_total": metrics.get("eval_total")}
+        for name in schemes:
+            final = np.asarray(result.mae[name])[:, -1]
+            finite = np.isfinite(final)
+            record[f"{name}_mae"] = (
+                float(final[finite].mean()) if finite.any() else None
+            )
+            record[f"{name}_diverged"] = int((~finite).sum())
+            record[f"{name}_survival_median"] = float(
+                np.median(np.asarray(result.survival_time[name]))
+            )
+        records.append(record)
+        print(json.dumps(record), flush=True)
+    if FLAGS.output_path:
+        with open(FLAGS.output_path, "w") as f:
+            for r in records:
+                f.write(json.dumps(r) + "\n")
+
+
+if __name__ == "__main__":
+    app.run(main)
