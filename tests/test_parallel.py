@@ -178,3 +178,61 @@ class TestGSPMDAutoSharding:
         u_sh = jax.device_put(u, NamedSharding(mesh, P("data", "space")))
         got = np.asarray(rhs(u_sh, 0.0))
         np.testing.assert_allclose(got, want, rtol=1e-4, atol=1e-5)
+
+    def test_space_sharded_training_loss_and_grads(self):
+        """The full training loss (incl. unrolled rollout) with inputs
+        sharded over ("data","space") reproduces the unsharded loss and
+        gradients — spatially-sharded TRAINING via GSPMD auto-partitioning."""
+        from pde_superresolution_tpu.training import LossWeights
+        from pde_superresolution_tpu.training import data as data_lib
+        from pde_superresolution_tpu.training import losses as loss_lib
+
+        eq = equations.from_name("ks", conservative=True)
+        grid = Grid(64, eq.period)
+        mesh = parallel.make_mesh(data=2, space=4)
+        model = StencilModel(
+            eq, grid, ModelConfig(num_layers=1, filters=4, stencil_size=6)
+        )
+        params = model.init_params(jax.random.PRNGKey(0))
+        key = jax.random.PRNGKey(1)
+        batch, nx = 4, grid.size
+        u = eq.initial_conditions(key, grid, (batch,))
+        dataset = data_lib.TrainingData(
+            inputs=u,
+            t=jnp.zeros((batch,)),
+            forcing=None,
+            deriv_labels={
+                d: jax.random.normal(jax.random.fold_in(key, d), (batch, nx))
+                for d in eq.derivative_orders
+            },
+            time_deriv_label=jax.random.normal(jax.random.fold_in(key, 9), (batch, nx)),
+            rollout=jnp.tile(u[:, None], (1, 2, 1)),
+        )
+        norms = loss_lib.compute_loss_norms(model, dataset, 2, 0.1, substeps=2)
+
+        @jax.jit
+        def loss_and_grads(p, batch_data):
+            def f(p):
+                loss, _ = loss_lib.compute_loss(
+                    model, p, batch_data, norms, LossWeights(),
+                    dt=0.1, unroll_steps=2, substeps=2,
+                )
+                return loss
+            return jax.value_and_grad(f)(p)
+
+        want_loss, want_grads = loss_and_grads(params, dataset)
+        sharding = NamedSharding(mesh, P("data", "space"))
+        dataset_sh = data_lib.TrainingData(
+            inputs=jax.device_put(dataset.inputs, sharding),
+            t=jax.device_put(dataset.t, NamedSharding(mesh, P("data"))),
+            forcing=None,
+            deriv_labels={
+                d: jax.device_put(v, sharding) for d, v in dataset.deriv_labels.items()
+            },
+            time_deriv_label=jax.device_put(dataset.time_deriv_label, sharding),
+            rollout=jax.device_put(dataset.rollout, NamedSharding(mesh, P("data", None, "space"))),
+        )
+        got_loss, got_grads = loss_and_grads(params, dataset_sh)
+        np.testing.assert_allclose(float(got_loss), float(want_loss), rtol=1e-5)
+        for a, b in zip(jax.tree.leaves(got_grads), jax.tree.leaves(want_grads)):
+            np.testing.assert_allclose(np.asarray(a), np.asarray(b), rtol=1e-4, atol=1e-6)
