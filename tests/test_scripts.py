@@ -1,0 +1,99 @@
+"""CLI smoke tests: each script runs end-to-end in a CPU subprocess.
+
+Scripts define absl flags at module import (so two scripts cannot be
+imported into one process — the standard absl pattern); each runs in its
+own subprocess, pinned to CPU via jax.config (the axon plugin ignores
+JAX_PLATFORMS, see tests/conftest.py).
+"""
+
+import json
+import os
+import subprocess
+import sys
+
+import pytest
+
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+
+TINY_HPARAMS = (
+    "conservative=true,resample_factor=4,fine_size=128,num_trajectories=2,"
+    "num_times=12,time_delta=0.1,num_layers=1,filters=4,stencil_size=4,"
+    "num_time_steps=1,learning_rates=1e-3,learning_stops=5,batch_size=4,"
+    "eval_interval=5,checkpoint_interval=5"
+)
+
+
+def run_cli(module: str, argv: list[str], timeout: int = 300) -> str:
+    code = (
+        "import jax; jax.config.update('jax_platforms', 'cpu');"
+        "import sys, runpy;"
+        f"sys.argv = ['prog'] + {argv!r};"
+        f"runpy.run_module('pde_superresolution_tpu.scripts.{module}', "
+        "run_name='__main__')"
+    )
+    env = dict(os.environ)
+    env["PYTHONPATH"] = REPO + os.pathsep + env.get("PYTHONPATH", "")
+    proc = subprocess.run(
+        [sys.executable, "-c", code],
+        capture_output=True,
+        text=True,
+        timeout=timeout,
+        env=env,
+        cwd=REPO,
+    )
+    assert proc.returncode == 0, (proc.stdout[-2000:], proc.stderr[-2000:])
+    return proc.stdout
+
+
+@pytest.fixture(scope="module")
+def pipeline_dirs(tmp_path_factory):
+    root = tmp_path_factory.mktemp("cli")
+    data = str(root / "data.h5")
+    ckpt = str(root / "ckpt")
+    run_cli(
+        "create_training_data",
+        [f"--output_path={data}", "--equation=burgers", "--fine_size=128",
+         "--num_trajectories=2", "--num_times=12", "--time_delta=0.1"],
+    )
+    run_cli(
+        "run_training",
+        [f"--input_path={data}", f"--checkpoint_dir={ckpt}",
+         f"--hparams={TINY_HPARAMS}"],
+    )
+    return data, ckpt, root
+
+
+class TestCLIPipeline:
+    def test_data_then_training(self, pipeline_dirs):
+        data, ckpt, _ = pipeline_dirs
+        assert os.path.exists(data)
+        assert os.path.exists(os.path.join(ckpt, "metrics.jsonl"))
+        metrics = [
+            json.loads(l) for l in open(os.path.join(ckpt, "metrics.jsonl"))
+        ]
+        assert metrics and "eval_total" in metrics[-1]
+
+    def test_evaluation(self, pipeline_dirs):
+        _, ckpt, root = pipeline_dirs
+        out_path = str(root / "eval.h5")
+        out = run_cli(
+            "run_evaluation",
+            [f"--checkpoint_dir={ckpt}", f"--output_path={out_path}",
+             "--num_samples=2", "--time_max=0.5", "--time_delta=0.1"],
+        )
+        assert os.path.exists(out_path)
+        assert "model" in out and "baseline" in out and "weno" in out
+
+    def test_ensemble(self, pipeline_dirs):
+        _, ckpt, _ = pipeline_dirs
+        out = run_cli(
+            "run_ensemble",
+            [f"--checkpoint_dir={ckpt}", "--num_trajectories=8",
+             "--time_max=0.2", "--num_saves=2"],
+        )
+        assert "traj-steps/s" in out
+
+    def test_bad_flag_fails_cleanly(self):
+        with pytest.raises(AssertionError):
+            run_cli("run_training", ["--checkpoint_dir=/tmp/x",
+                                     "--hparams=warp_speed=9"])
