@@ -87,9 +87,11 @@ def train(
     If ``dataset`` is None, snapshots are generated on device from the
     config (exact ETDRK4 solves). Returns (model, params, final_metrics).
 
-    With ``mesh`` (axis name "data"), the dataset and every batch are
-    sharded over the trajectory/sample axis and gradients are reduced by
-    XLA collectives — plain data parallelism via sharded jit.
+    With ``mesh``, the dataset and every batch are sharded over the
+    trajectory/sample axis ("data"); if the mesh also has a non-trivial
+    "space" axis, the spatial grid axis of fields is sharded too (GSPMD
+    auto-partitions the rolls/convs — verified gradient-exact in
+    tests/test_parallel.py). Gradients reduce via XLA collectives.
     """
     equation = from_name(config.equation, conservative=config.conservative)
     fine = Grid(config.fine_size, equation.period)
@@ -150,15 +152,31 @@ def train(
         if n_eval == 0:
             raise ValueError("eval split smaller than the mesh data axis")
         eval_set = _slice_batch(eval_set, jnp.arange(n_eval))
-        batch_sharding = jax.sharding.NamedSharding(
-            mesh, jax.sharding.PartitionSpec("data")
+        space = (
+            "space"
+            if "space" in mesh.axis_names and mesh.shape["space"] > 1
+            else None
         )
-        replicated = jax.sharding.NamedSharding(
-            mesh, jax.sharding.PartitionSpec()
-        )
+        P = jax.sharding.PartitionSpec
+
+        def spec_for(leaf):
+            # leading axis = samples; last axis = space (fields only);
+            # rollout has an extra middle time axis.
+            if leaf.ndim == 1:  # t
+                return P("data")
+            if leaf.ndim == 2 and leaf.shape[-1] == coarse.size:
+                return P("data", space)
+            if leaf.ndim == 3 and leaf.shape[-1] == coarse.size:
+                return P("data", None, space)
+            return P("data")  # forcing leaves [n, terms]
+
+        replicated = jax.sharding.NamedSharding(mesh, P())
         state = jax.device_put(state, replicated)
         shard_batch = lambda b: jax.tree.map(
-            lambda leaf: jax.device_put(leaf, batch_sharding), b
+            lambda leaf: jax.device_put(
+                leaf, jax.sharding.NamedSharding(mesh, spec_for(leaf))
+            ),
+            b,
         )
     else:
         shard_batch = lambda b: b

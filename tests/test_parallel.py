@@ -236,3 +236,25 @@ class TestGSPMDAutoSharding:
         np.testing.assert_allclose(float(got_loss), float(want_loss), rtol=1e-5)
         for a, b in zip(jax.tree.leaves(got_grads), jax.tree.leaves(want_grads)):
             np.testing.assert_allclose(np.asarray(a), np.asarray(b), rtol=1e-4, atol=1e-6)
+
+
+class TestDPxSPTraining:
+    def test_2d_mesh_training_matches_single_device(self):
+        """Full train() over a (data=2, space=4) mesh == single-device."""
+        from pde_superresolution_tpu.training import TrainingConfig, loop as loop_lib
+
+        cfg = TrainingConfig(
+            equation="ks", conservative=True, resample_factor=2,
+            fine_size=128, num_trajectories=2, num_times=32, time_delta=0.1,
+            model=ModelConfig(num_layers=1, filters=4, stencil_size=6),
+            num_time_steps=1, learning_rates=(1e-3,), learning_stops=(3,),
+            batch_size=8, eval_interval=3, frac_training=0.75, ic_scale=0.3,
+        )
+        mesh = parallel.make_mesh(data=2, space=4)
+        _, params_2d, m_2d = loop_lib.train(cfg, mesh=mesh)
+        _, params_single, m_single = loop_lib.train(cfg)
+        for a, b in zip(jax.tree.leaves(params_2d), jax.tree.leaves(params_single)):
+            np.testing.assert_allclose(
+                np.asarray(a), np.asarray(b), rtol=1e-4, atol=1e-5
+            )
+        assert abs(m_2d["eval_total"] - m_single["eval_total"]) < 1e-3
