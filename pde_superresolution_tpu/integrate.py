@@ -130,13 +130,13 @@ class PolynomialDifferentiator(Differentiator):
             if staggered
             else stencils.Method.FINITE_DIFFERENCES
         )
-        self._coeffs: dict[int, np.ndarray] = {}
-        self._offsets: dict[int, np.ndarray] = {}
+        self.coeffs: dict[int, np.ndarray] = {}
+        self.offsets: dict[int, np.ndarray] = {}
         for d in equation.derivative_orders:
             size = stencil_size or baseline_stencil_size(d, accuracy_order, staggered)
             offsets = stencils.stencil_offsets(size, staggered=staggered)
-            self._offsets[d] = offsets
-            self._coeffs[d] = stencils.coefficients(
+            self.offsets[d] = offsets
+            self.coeffs[d] = stencils.coefficients(
                 offsets, method, d, accuracy_order=None, dx=grid.dx
             )
 
@@ -144,7 +144,7 @@ class PolynomialDifferentiator(Differentiator):
         shift = -0.5 if self.equation.conservative else 0.0
         return {
             d: stencils.apply_stencil(
-                u, jnp.asarray(self._coeffs[d], dtype=u.dtype), self._offsets[d], shift
+                u, jnp.asarray(self.coeffs[d], dtype=u.dtype), self.offsets[d], shift
             )
             for d in self.equation.derivative_orders
         }

@@ -66,7 +66,7 @@ def sharded_baseline_rhs(
     staggered = equation.conservative
     shift = -0.5 if staggered else 0.0
     all_taps = np.concatenate(
-        [np.asarray(diff._offsets[d]) - shift for d in diff._offsets]
+        [np.asarray(diff.offsets[d]) - shift for d in diff.offsets]
     )
     reach = int(max(abs(all_taps.min()), abs(all_taps.max())))
     halo = reach + (1 if staggered else 0)
@@ -79,25 +79,25 @@ def sharded_baseline_rhs(
             faces = {
                 d: halo_lib.apply_stencil_local(
                     u_pad,
-                    jnp.asarray(diff._coeffs[d], u.dtype),
-                    diff._offsets[d],
+                    jnp.asarray(diff.coeffs[d], u.dtype),
+                    diff.offsets[d],
                     halo,
                     shift,
                     out_start=-1,
                     out_size=u.shape[-1] + 1,
                 )
-                for d in diff._offsets
+                for d in diff.offsets
             }
             u_t = _divergence(equation.flux(faces), grid.dx)
         else:
             derivs = {
                 d: halo_lib.apply_stencil_local(
                     u_pad,
-                    jnp.asarray(diff._coeffs[d], u.dtype),
-                    diff._offsets[d],
+                    jnp.asarray(diff.coeffs[d], u.dtype),
+                    diff.offsets[d],
                     halo,
                 )
-                for d in diff._offsets
+                for d in diff.offsets
             }
             u_t = equation.equation_of_motion(u, derivs)
         if forcing_local is not None:
