@@ -17,6 +17,7 @@ Training DP lives in training/loop.py (sharded jit over the sample axis).
 from pde_superresolution_tpu.parallel.mesh import (  # noqa: F401
     DATA_AXIS,
     SPACE_AXIS,
+    initialize_multihost,
     make_mesh,
 )
 from pde_superresolution_tpu.parallel.halo import (  # noqa: F401

@@ -19,6 +19,27 @@ DATA_AXIS = "data"
 SPACE_AXIS = "space"
 
 
+def initialize_multihost(**kwargs) -> None:
+    """Initialize multi-host JAX (call once at process start, before any
+    device use). Thin wrapper over ``jax.distributed.initialize`` so callers
+    depend on this package's parallel API only.
+
+    On Cloud TPU pods the coordinator/process counts come from the TPU
+    environment automatically; elsewhere pass ``coordinator_address``,
+    ``num_processes`` and ``process_id``. After this, ``make_mesh()`` sees
+    every chip in the slice (ICI within a pod, DCN across slices) and the
+    same sharded-jit / shard_map code runs unchanged — XLA routes the
+    collectives. No-op when already initialized. Single-process runs never
+    need it. (Untestable in this single-host environment; the multi-device
+    path is covered by the virtual-mesh tests.)
+    """
+    try:
+        jax.distributed.initialize(**kwargs)
+    except RuntimeError as e:
+        if "already" not in str(e).lower():
+            raise
+
+
 def make_mesh(
     data: Optional[int] = None,
     space: int = 1,
