@@ -31,7 +31,7 @@ INNER_STEPS = 100  # RK4 steps per timed device call
 
 def build():
     eq = equations.from_name("ks", conservative=True)
-    coarse = Grid(FINE, eq.period).resample(FACTOR)
+    coarse = Grid(FINE, eq.period).resample(FACTOR, conservative=True)
     model = StencilModel(eq, coarse, ModelConfig(stencil_size=6))
     params = model.init_params(jax.random.PRNGKey(0))
     dt = eq.stable_time_step(coarse, u_scale=3.0)

@@ -56,9 +56,20 @@ class ForcingParams(typing.NamedTuple):
 
 
 def forcing_term(
-    params: ForcingParams, x: jnp.ndarray, t: jnp.ndarray, period: float
+    params: ForcingParams,
+    x: jnp.ndarray,
+    t: jnp.ndarray,
+    period: float,
+    cell_width: Optional[float] = None,
 ) -> jnp.ndarray:
     """Evaluate the forcing on grid ``x`` [nx] at (traced) time ``t``.
+
+    With ``cell_width`` the EXACT cell average over ``[x - w/2, x + w/2]``
+    is returned instead of the point value: the average of
+    ``sin(κ x + c)`` is ``sinc(κ w / 2) sin(κ x_center + c)``. Conservative
+    (finite-volume) schemes evolve cell averages, so their forcing term must
+    be the cell-averaged forcing — at 8x coarsening with wavenumbers 3-6 the
+    point value overestimates it by up to ~25%.
 
     Returns shape ``params.batch_shape + [nx]``.
     """
@@ -68,7 +79,12 @@ def forcing_term(
         + 2 * np.pi * params.k[..., None] * x / period
         + params.phi[..., None]
     )  # [..., num_terms, nx]
-    return jnp.sum(params.amplitude[..., None] * jnp.sin(phase), axis=-2)
+    amplitude = params.amplitude
+    if cell_width is not None:
+        kappa = 2 * np.pi * params.k / period
+        z = kappa * cell_width / 2
+        amplitude = amplitude * jnp.sinc(z / np.pi)  # jnp.sinc(y)=sin(pi y)/(pi y)
+    return jnp.sum(amplitude[..., None] * jnp.sin(phase), axis=-2)
 
 
 @dataclasses.dataclass(frozen=True)
@@ -130,7 +146,11 @@ class Equation:
             u_t = self.equation_of_motion(u, derivs)
         if forcing is not None:
             x = jnp.asarray(grid.x, dtype=u.dtype)
-            u_t = u_t + forcing_term(forcing, x, t, self.period)
+            # conservative schemes evolve cell averages: use the exact
+            # cell-averaged forcing (grid.x must be the true cell centers —
+            # see Grid.resample(conservative=True))
+            width = grid.dx if self.conservative else None
+            u_t = u_t + forcing_term(forcing, x, t, self.period, width)
         return u_t
 
     # --- randomness ---------------------------------------------------------

@@ -85,50 +85,45 @@ def evaluate(
     Args:
       schemes: name -> (forcing -> rhs_fn) factories, e.g.
         ``{"baseline": lambda f: PolynomialDifferentiator(...).rhs_fn(f),
-           "model": lambda f: model.rhs_fn(params, f)}``. Conservative and
-        non-conservative schemes may be mixed: each is compared against the
-        matching coarse-graining of the exact solve (block mean if the
-        equation is conservative, subsample otherwise).
+           "model": lambda f: model.rhs_fn(params, f)}``. NOTE: ONE
+        coarse-graining — chosen by ``equation.conservative`` (block mean if
+        conservative, subsample otherwise) — produces the matched initial
+        conditions and the exact reference for EVERY scheme; mixing
+        conservative and non-conservative schemes in one call compares the
+        odd one out against the other family's coarse-graining (a half-cell
+        interpretation mismatch). Run two evaluations to compare across
+        families fairly.
       coarse_dt: coarse integrator step; defaults to an integer subdivision
         of ``time_delta`` near the equation's stable step.
     """
-    coarse = fine_grid.resample(resample_factor)
+    coarse = fine_grid.resample(
+        resample_factor, conservative=equation.conservative
+    )
     num_times = int(round(time_max / time_delta)) + 1
 
     k_ic, k_f = jax.random.split(key)
     u0 = ic_scale * equation.initial_conditions(k_ic, fine_grid, (num_samples,))
     forcing = equation.sample_forcing(k_f, (num_samples,))
 
-    # exact fine solve
-    dt_cap = exact_dt_cap or 0.2 * fine_grid.dx
-    substeps = max(1, int(np.ceil(time_delta / dt_cap)))
-    dt_fine = time_delta / substeps
-    t0 = 0.0
-    if warmup_time > 0:
-        warm_steps = int(np.ceil(warmup_time / dt_fine))
-        _, warm = integrate.integrate_spectral(
-            equation, fine_grid, u0, dt_fine, warm_steps, save_every=warm_steps,
-            forcing=forcing,
-        )
-        u0 = warm[-1]
-        t0 = warm_steps * dt_fine
-    times, traj_fine = integrate.integrate_spectral(
+    # exact fine solve (the SAME solver as training-data generation)
+    times, traj_fine = integrate.exact_solve_sampled(
         equation,
         fine_grid,
         u0,
-        dt_fine,
-        (num_times - 1) * substeps,
-        save_every=substeps,
-        t0=t0,
+        time_delta,
+        num_times,
+        warmup_time=warmup_time,
         forcing=forcing,
-    )  # [T, batch, nx_fine]
+        dt_cap=exact_dt_cap,
+    )  # [T, batch, nx_fine]; traj_fine[0] is the (possibly warmed) IC
+    t0 = float(times[0])
 
     if equation.conservative:
         coarsen = lambda f: resample.resample_mean(f, resample_factor)
     else:
         coarsen = lambda f: resample.subsample(f, resample_factor)
     exact = jnp.swapaxes(coarsen(traj_fine), 0, 1)  # [batch, T, nx_c]
-    u0_coarse = coarsen(u0)
+    u0_coarse = exact[:, 0]
 
     # coarse integrations
     if coarse_dt is None:

@@ -20,13 +20,22 @@ import numpy as np
 class Grid:
     """A uniform periodic grid on ``[0, period)`` with ``size`` points.
 
-    Point ``j`` sits at ``x_j = j * dx`` (equivalently: cell ``j`` spans
-    ``[x_j - dx/2, x_j + dx/2)`` for finite-volume interpretations; the
-    reference uses the same point set for both).
+    Point ``j`` sits at ``x_j = origin + j * dx`` (equivalently: cell ``j``
+    spans ``[x_j - dx/2, x_j + dx/2)`` for finite-volume interpretations).
+
+    ``origin`` matters for block-mean (conservative) coarse grids: the mean
+    of fine points ``j*f .. (j+1)*f - 1`` is the average over an interval
+    CENTERED at ``(j*f + (f-1)/2) * dx_fine``, i.e. shifted by
+    ``(f-1)/2 * dx_fine`` from the subsampled point ``j*f*dx_fine``. Any
+    x-dependent field evaluated on the coarse grid (the forcing!) must use
+    these true cell centers, which ``resample(conservative=True)`` encodes
+    here — at 8x the shift is ~dx_coarse/2, a ~0.13 rad phase error for
+    forcing wavenumbers 3-6 if ignored.
     """
 
     size: int
     period: float
+    origin: float = 0.0
 
     def __post_init__(self):
         if self.size < 1:
@@ -41,17 +50,22 @@ class Grid:
     @property
     def x(self) -> np.ndarray:
         """Point locations, shape [size], float64 (cast at use sites)."""
-        return np.arange(self.size) * self.dx
+        return self.origin + np.arange(self.size) * self.dx
 
-    def resample(self, factor: int) -> "Grid":
+    def resample(self, factor: int, conservative: bool = False) -> "Grid":
         """The coarse grid obtained by resampling this grid by ``factor``.
 
-        Convention (matching block-mean / strided coarse-graining): coarse
-        point ``j`` corresponds to fine points ``j*factor .. (j+1)*factor-1``;
-        for subsampling, coarse point j is fine point ``j*factor``.
+        Convention (matching the coarse-graining ops): coarse point ``j``
+        corresponds to fine points ``j*factor .. (j+1)*factor - 1`` for
+        block-mean (``conservative=True``; cell centers shifted by
+        ``(factor-1)/2 * dx_fine`` — see class docstring) and to fine point
+        ``j*factor`` for subsampling (``conservative=False``).
         """
         if factor < 1 or self.size % factor:
             raise ValueError(
                 f"resample factor {factor} must divide grid size {self.size}"
             )
-        return Grid(self.size // factor, self.period)
+        origin = self.origin
+        if conservative:
+            origin += (factor - 1) / 2 * self.dx
+        return Grid(self.size // factor, self.period, origin)

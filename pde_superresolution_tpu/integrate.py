@@ -134,6 +134,13 @@ class PolynomialDifferentiator(Differentiator):
         self.offsets: dict[int, np.ndarray] = {}
         for d in equation.derivative_orders:
             size = stencil_size or baseline_stencil_size(d, accuracy_order, staggered)
+            # staggered stencils need even sizes (collocated: odd) so the
+            # taps land on grid points; round up here rather than failing
+            # later inside a jitted apply (matches StencilModel's behavior)
+            if staggered and size % 2:
+                size += 1
+            if not staggered and size % 2 == 0:
+                size += 1
             offsets = stencils.stencil_offsets(size, staggered=staggered)
             self.offsets[d] = offsets
             self.coeffs[d] = stencils.coefficients(
@@ -443,6 +450,49 @@ def integrate_resumable(
         traj = jnp.asarray(f["u"][...])
     times = t0 + dt * save_every * jnp.arange(num_saves + 1)
     return times, traj
+
+
+def exact_solve_sampled(
+    equation: Equation,
+    grid: Grid,
+    u0: jnp.ndarray,
+    time_delta: float,
+    num_times: int,
+    warmup_time: float = 0.0,
+    forcing: Optional[ForcingParams] = None,
+    dt_cap: Optional[float] = None,
+) -> tuple[jnp.ndarray, jnp.ndarray]:
+    """ETDRK4 exact solve sampled every ``time_delta``, with optional warmup.
+
+    The single shared implementation behind training-data generation and
+    evaluation (they must use the same exact solver). The internal step only
+    needs to resolve the nonlinear dynamics (the stiff linear part is exact
+    at any step): ``dt_cap`` defaults to ``0.2 * dx`` (Kassam-Trefethen used
+    ~0.3 dx for KS). Returns (times [num_times], traj [num_times, ..., nx]);
+    the warmup segment is discarded, times start at its end.
+    """
+    dt_cap = dt_cap or 0.2 * grid.dx
+    substeps = max(1, int(np.ceil(time_delta / dt_cap)))
+    dt = time_delta / substeps
+    t0 = 0.0
+    if warmup_time > 0:
+        warm_steps = int(np.ceil(warmup_time / dt))
+        _, warm = integrate_spectral(
+            equation, grid, u0, dt, warm_steps, save_every=warm_steps,
+            forcing=forcing,
+        )
+        u0 = warm[-1]
+        t0 = warm_steps * dt
+    return integrate_spectral(
+        equation,
+        grid,
+        u0,
+        dt,
+        (num_times - 1) * substeps,
+        save_every=substeps,
+        t0=t0,
+        forcing=forcing,
+    )
 
 
 def integrate_exact(

@@ -213,7 +213,10 @@ class StencilModel:
             coeffs = self.coefficients(params, u)
             u_t = fused(u, coeffs)
             if forcing is not None:
-                u_t = u_t + forcing_term(forcing, x, t, self.equation.period)
+                width = self.grid.dx if self.equation.conservative else None
+                u_t = u_t + forcing_term(
+                    forcing, x, t, self.equation.period, width
+                )
             return u_t
 
         return rhs

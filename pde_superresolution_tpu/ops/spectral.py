@@ -61,7 +61,12 @@ def _spectral_derivative_at_offset(u, order, period, offset):
     n = u.shape[-1]
     k = wavenumbers(n, period)
     mult = (1j * k) ** order * np.exp(1j * k * offset)
-    if n % 2 == 0 and (order % 2 or offset % (period / n)):
+    # zero the Nyquist bin for odd orders or genuine (non-grid-multiple)
+    # shifts; the grid-multiple test must be tolerance-based — exact float
+    # modulo can misclassify offsets like 3*period/n
+    dx = period / n
+    frac = offset / dx - round(offset / dx)
+    if n % 2 == 0 and (order % 2 or abs(frac) > 1e-9):
         mult = mult.copy()
         mult[-1] = 0
     return jnp.fft.irfft(jnp.fft.rfft(u) * mult, n=n).astype(u.dtype)

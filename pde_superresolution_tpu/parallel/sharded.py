@@ -101,7 +101,10 @@ def sharded_baseline_rhs(
             }
             u_t = equation.equation_of_motion(u, derivs)
         if forcing_local is not None:
-            u_t = u_t + forcing_term(forcing_local, x_local, t, equation.period)
+            width = grid.dx if equation.conservative else None
+            u_t = u_t + forcing_term(
+                forcing_local, x_local, t, equation.period, width
+            )
         return u_t
 
     def rhs(u, t):
@@ -173,7 +176,10 @@ def sharded_model_rhs(
                 )
             u_t = equation.equation_of_motion(u, derivs)
         if forcing_local is not None:
-            u_t = u_t + forcing_term(forcing_local, x_local, t, equation.period)
+            width = grid.dx if equation.conservative else None
+            u_t = u_t + forcing_term(
+                forcing_local, x_local, t, equation.period, width
+            )
         return u_t
 
     def rhs(u, t):

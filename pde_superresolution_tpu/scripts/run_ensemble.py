@@ -44,14 +44,16 @@ def main(argv):
     coarse = model.grid
     n = FLAGS.num_trajectories
 
-    key = jax.random.PRNGKey(FLAGS.seed)
+    key, k_f = jax.random.split(jax.random.PRNGKey(FLAGS.seed))
     u0 = FLAGS.ic_scale * equation.initial_conditions(key, coarse, (n,))
+    forcing = equation.sample_forcing(k_f, (n,))  # None for unforced eqs
     if FLAGS.warmup_time > 0:
         # warm up with the exact solver on the coarse grid (cheap, batched)
         dt_w = 0.2 * coarse.dx
         steps_w = int(np.ceil(FLAGS.warmup_time / dt_w))
         _, warm = integrate.integrate_spectral(
-            equation, coarse, u0, dt_w, steps_w, save_every=steps_w
+            equation, coarse, u0, dt_w, steps_w, save_every=steps_w,
+            forcing=forcing,
         )
         u0 = warm[-1]
 
@@ -59,7 +61,7 @@ def main(argv):
     num_steps = int(np.ceil(FLAGS.time_max / dt))
     save_every = max(1, num_steps // FLAGS.num_saves)
     num_steps = save_every * FLAGS.num_saves
-    rhs = model.rhs_fn(params)
+    rhs = model.rhs_fn(params, forcing)
 
     t0 = time.perf_counter()
     if FLAGS.output_path:

@@ -39,11 +39,15 @@ def main(argv):
         import dataclasses
 
         snapshots, equation, fine = data_lib.load_snapshots_h5(FLAGS.input_path)
+        times = snapshots.times
+        time_delta = float(times[1] - times[0]) if times.shape[0] > 1 else config.time_delta
         config = dataclasses.replace(
             config,
             equation=equation.name,
             conservative=equation.conservative,
             fine_size=fine.size,
+            time_delta=time_delta,  # the unrolled loss must use the file's
+            # actual snapshot spacing, not the default hparam
         )
         dataset = data_lib.build_training_data(
             equation, fine, snapshots, config.resample_factor,

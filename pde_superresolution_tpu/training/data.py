@@ -75,35 +75,9 @@ def generate_snapshots(
     k_ic, k_f = jax.random.split(key)
     u0 = ic_scale * equation.initial_conditions(k_ic, fine_grid, (num_trajectories,))
     forcing = equation.sample_forcing(k_f, (num_trajectories,))
-
-    # Internal ETDRK4 step: the stiff linear part is exact at any step, so
-    # the step only needs to resolve the *nonlinear* (advective) dynamics:
-    # dt ~ 0.2 dx/u (Kassam-Trefethen used dt ≈ 0.3 dx for KS). Do NOT use
-    # stable_time_step here — its dx^4 explicit-RK4 bound would be absurd.
-    dt_cap = 0.2 * fine_grid.dx
-    substeps = max(1, int(np.ceil(time_delta / dt_cap)))
-    dt = time_delta / substeps
-
-    t0 = 0.0
-    if warmup_time > 0:
-        warm_steps = int(np.ceil(warmup_time / dt))
-        _, warm = integrate.integrate_spectral(
-            equation, fine_grid, u0, dt, warm_steps, save_every=warm_steps,
-            forcing=forcing,
-        )
-        u0 = warm[-1]
-        t0 = warm_steps * dt
-
-    num_steps = (num_times - 1) * substeps
-    times, traj = integrate.integrate_spectral(
-        equation,
-        fine_grid,
-        u0,
-        dt,
-        num_steps,
-        save_every=substeps,
-        t0=t0,
-        forcing=forcing,
+    times, traj = integrate.exact_solve_sampled(
+        equation, fine_grid, u0, time_delta, num_times,
+        warmup_time=warmup_time, forcing=forcing,
     )
     # traj: [num_times, num_traj, nx] -> [num_traj, num_times, nx]
     return Snapshots(u=jnp.swapaxes(traj, 0, 1), times=times, forcing=forcing)
@@ -204,6 +178,9 @@ def save_snapshots_h5(
     layout unverified); we store the trajectory axis explicitly and flatten
     on demand for 2-D consumers.
     """
+    import dataclasses as _dc
+    import json as _json
+
     with h5py.File(path, "w") as f:
         f.create_dataset("v", data=np.asarray(snapshots.u))
         f.create_dataset("times", data=np.asarray(snapshots.times))
@@ -211,6 +188,11 @@ def save_snapshots_h5(
         f.attrs["conservative"] = equation.conservative
         f.attrs["period"] = equation.period
         f.attrs["fine_size"] = fine_grid.size
+        # full equation parameters (eta, period, ...) so non-default physics
+        # round-trips; 'conservative' is stored separately above
+        params = {k: v for k, v in _dc.asdict(equation).items()
+                  if k != "conservative"}
+        f.attrs["equation_params"] = _json.dumps(params)
         if snapshots.forcing is not None:
             g = f.create_group("forcing")
             for name, leaf in snapshots.forcing._asdict().items():
@@ -226,9 +208,14 @@ def load_snapshots_h5(path: str) -> tuple[Snapshots, Equation, Grid]:
             forcing = ForcingParams(
                 **{k: jnp.asarray(v[...]) for k, v in f["forcing"].items()}
             )
+        import json as _json
+
+        params = _json.loads(f.attrs.get("equation_params", "{}"))
+        params.setdefault("period", float(f.attrs["period"]))
         equation = from_name(
             f.attrs["equation"],
             conservative=bool(f.attrs["conservative"]),
+            **params,
         )
         grid = Grid(int(f.attrs["fine_size"]), float(f.attrs["period"]))
     return Snapshots(u=u, times=times, forcing=forcing), equation, grid

@@ -50,13 +50,15 @@ def make_optimizer(config: TrainingConfig) -> optax.GradientTransformation:
         [optax.constant_schedule(r) for r in rates],
         boundaries=stops[:-1],
     )
-    chain = [optax.zero_nans()]  # a NaN batch (unstable rollout) must not
-    # permanently poison params — skip its update instead (clipping alone
-    # cannot: NaNs pass through a global-norm clip).
+    chain = []
     if config.grad_clip_norm > 0:
         chain.append(optax.clip_by_global_norm(config.grad_clip_norm))
     chain.append(optax.adam(schedule))
-    return optax.chain(*chain)
+    # a NaN batch (unstable rollout) must not poison params: apply_if_finite
+    # skips the ENTIRE update (including optimizer-state mutation) on
+    # non-finite grads. (zero_nans would be wrong here — zeroed grads still
+    # apply a momentum-driven Adam step and corrupt the moments.)
+    return optax.apply_if_finite(optax.chain(*chain), max_consecutive_errors=10**6)
 
 
 def _slice_batch(dataset: data_lib.TrainingData, idx: jnp.ndarray) -> data_lib.TrainingData:
@@ -95,7 +97,9 @@ def train(
     """
     equation = from_name(config.equation, conservative=config.conservative)
     fine = Grid(config.fine_size, equation.period)
-    coarse = fine.resample(config.resample_factor)
+    coarse = fine.resample(
+        config.resample_factor, conservative=config.conservative
+    )
     model = StencilModel(equation, coarse, config.model)
 
     # --- data ----------------------------------------------------------------
@@ -292,6 +296,8 @@ def load_model(checkpoint_dir: str) -> tuple[StencilModel, dict, TrainingConfig]
     equation = from_name(config.equation, conservative=config.conservative)
     fine = Grid(config.fine_size, equation.period)
     model = StencilModel(
-        equation, fine.resample(config.resample_factor), config.model
+        equation,
+        fine.resample(config.resample_factor, conservative=config.conservative),
+        config.model,
     )
     return model, restored["state"]["params"], config

@@ -32,7 +32,12 @@ def trace(logdir: str):
 
 
 class Timer:
-    """Wall-clock timer that waits for async device work on exit."""
+    """Plain wall-clock timer (context manager).
+
+    NOTE: does NOT synchronize the device — under JAX's async dispatch the
+    caller must ``jax.block_until_ready`` inside the block to time device
+    work (``benchmark_fn`` below does this for you).
+    """
 
     def __enter__(self):
         self.start = time.perf_counter()

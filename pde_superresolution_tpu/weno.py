@@ -131,7 +131,10 @@ class WENODifferentiator(integrate.Differentiator):
                 from pde_superresolution_tpu.equations import forcing_term
 
                 x = jnp.asarray(grid.x, dtype=u.dtype)
-                u_t = u_t + forcing_term(forcing, x, t, eq.period)
+                # WENO is a flux (cell-average) scheme: when built on a
+                # conservative equation/grid, use the cell-averaged forcing
+                width = grid.dx if eq.conservative else None
+                u_t = u_t + forcing_term(forcing, x, t, eq.period, width)
             return u_t
 
         return rhs

@@ -160,3 +160,65 @@ class TestRegistry:
             eq = equations.from_name(name)
             fine, coarse = Grid(512, eq.period), Grid(64, eq.period)
             assert 0 < eq.stable_time_step(fine) < eq.stable_time_step(coarse)
+
+
+class TestCellAveragedForcing:
+    def test_forcing_cell_average_matches_block_mean(self):
+        """forcing_term(cell centers, cell_width) must equal the block mean
+        of the finely-sampled forcing — the conservative label consistency
+        fix (DECISIONS #3 geometry + sinc amplitude factor)."""
+        eq = equations.BurgersEquation()
+        fine = Grid(512, eq.period)
+        factor = 8
+        coarse = fine.resample(factor, conservative=True)
+        p = eq.sample_forcing(jax.random.PRNGKey(0))
+        t = 0.7
+        f_fine = equations.forcing_term(
+            p, jnp.asarray(fine.x, jnp.float32), t, eq.period
+        )
+        want = np.asarray(ops.resample_mean(f_fine, factor))
+        got = np.asarray(
+            equations.forcing_term(
+                p, jnp.asarray(coarse.x, jnp.float32), t, eq.period,
+                cell_width=coarse.dx,
+            )
+        )
+        # block mean of 8 point samples vs exact integral: O((dx_f k)^2) err
+        np.testing.assert_allclose(got, want, atol=2e-3)
+
+    def test_point_forcing_is_biased_at_coarse_cells(self):
+        """Sanity: WITHOUT the fix the error is ~25% of forcing amplitude."""
+        eq = equations.BurgersEquation()
+        fine = Grid(512, eq.period)
+        factor = 8
+        coarse_naive = fine.resample(factor)  # origin 0, point values
+        p = eq.sample_forcing(jax.random.PRNGKey(0))
+        f_fine = equations.forcing_term(
+            p, jnp.asarray(fine.x, jnp.float32), 0.7, eq.period
+        )
+        want = np.asarray(ops.resample_mean(f_fine, factor))
+        naive = np.asarray(
+            equations.forcing_term(
+                p, jnp.asarray(coarse_naive.x, jnp.float32), 0.7, eq.period
+            )
+        )
+        err = np.abs(naive - want).max() / np.abs(want).max()
+        assert err > 0.05, err  # the bias the fix removes is material
+
+
+class TestGridOrigin:
+    def test_conservative_resample_centers(self):
+        fine = Grid(64, 8.0)
+        coarse = fine.resample(8, conservative=True)
+        # cell j = fine points 8j..8j+7; center = (8j + 3.5) * dx_f
+        np.testing.assert_allclose(coarse.x, (np.arange(8) * 8 + 3.5) * fine.dx)
+        # subsample convention unchanged
+        np.testing.assert_allclose(fine.resample(8).x, np.arange(8) * 8 * fine.dx)
+
+    def test_origin_composes(self):
+        g = Grid(64, 8.0).resample(4, conservative=True).resample(
+            4, conservative=True
+        )
+        # two-level block mean == one 16x block mean: centers must agree
+        g2 = Grid(64, 8.0).resample(16, conservative=True)
+        np.testing.assert_allclose(g.x, g2.x)
