@@ -7,9 +7,12 @@ from pde_superresolution_tpu.training.config import (  # noqa: F401
 from pde_superresolution_tpu.training.data import (  # noqa: F401
     Snapshots,
     TrainingData,
+    TrajectoryData,
     build_training_data,
+    build_trajectory_data,
     generate_snapshots,
     load_snapshots_h5,
+    sample_training_batch,
     save_snapshots_h5,
 )
 from pde_superresolution_tpu.training.losses import (  # noqa: F401

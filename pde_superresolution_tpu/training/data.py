@@ -165,6 +165,133 @@ def build_training_data(
 
 
 # ---------------------------------------------------------------------------
+# Large-ensemble (10k-trajectory) training: structured dataset + sampler.
+# ---------------------------------------------------------------------------
+
+
+class TrajectoryData(typing.NamedTuple):
+    """Trajectory-structured training data for large ensembles.
+
+    Unlike the flat ``TrainingData`` (whose materialized ``rollout`` copies
+    each field ``unroll_steps`` times — a 10k-trajectory KS dataset at
+    unroll 8 would need ~10 GB for rollouts alone), rollout windows here are
+    gathered ON THE FLY from the full coarse series when a batch is sampled.
+    HBM cost is one copy of each label array.
+    """
+
+    series: jnp.ndarray  # [traj, num_times, nx] full coarse series
+    times: jnp.ndarray  # [num_times]
+    forcing: Optional[ForcingParams]  # leaves [traj, terms]
+    deriv_labels: dict  # {order: [traj, usable, nx]}
+    time_deriv_label: jnp.ndarray  # [traj, usable, nx]
+    unroll_steps: int  # static
+
+    @property
+    def num_trajectories(self) -> int:
+        return self.series.shape[0]
+
+    @property
+    def usable_times(self) -> int:
+        return self.series.shape[1] - self.unroll_steps
+
+
+def build_trajectory_data(
+    equation: Equation,
+    fine_grid: Grid,
+    key: jax.Array,
+    num_trajectories: int,
+    num_times: int,
+    time_delta: float,
+    resample_factor: int,
+    unroll_steps: int,
+    warmup_time: float = 0.0,
+    ic_scale: float = 1.0,
+    chunk_trajectories: int = 512,
+) -> TrajectoryData:
+    """Generate a large ensemble in trajectory chunks (fine snapshots are
+    discarded per chunk; only coarse fields/labels accumulate), on device.
+
+    A 10k-trajectory KS-8x dataset costs ~6 GB HBM this way (vs >10 GB fine
+    snapshots + >10 GB materialized rollouts for the flat pipeline).
+    """
+    chunks = []
+    times = None
+    num_chunks = int(np.ceil(num_trajectories / chunk_trajectories))
+    for c in range(num_chunks):
+        n_c = min(chunk_trajectories, num_trajectories - c * chunk_trajectories)
+        snaps = generate_snapshots(
+            equation, fine_grid, jax.random.fold_in(key, c), n_c, num_times,
+            time_delta, warmup_time=warmup_time, ic_scale=ic_scale,
+        )
+        flatd = build_training_data(  # reuse the label pipeline...
+            equation, fine_grid, snaps, resample_factor, unroll_steps=0
+        )
+        usable = num_times  # unroll 0 => all times usable
+        nx = flatd.inputs.shape[-1]
+        unflat = lambda a: a.reshape((n_c, usable) + a.shape[1:])
+        chunks.append(
+            TrajectoryData(
+                series=unflat(flatd.inputs),
+                times=snaps.times,
+                forcing=snaps.forcing,
+                deriv_labels={
+                    d: unflat(v)[:, : num_times - unroll_steps]
+                    for d, v in flatd.deriv_labels.items()
+                },
+                time_deriv_label=unflat(flatd.time_deriv_label)[
+                    :, : num_times - unroll_steps
+                ],
+                unroll_steps=unroll_steps,
+            )
+        )
+        times = snaps.times
+    cat = lambda leaves: jnp.concatenate(leaves, axis=0)
+    forcing = None
+    if chunks[0].forcing is not None:
+        forcing = jax.tree.map(lambda *l: cat(list(l)), *[c.forcing for c in chunks])
+    return TrajectoryData(
+        series=cat([c.series for c in chunks]),
+        times=times,
+        forcing=forcing,
+        deriv_labels={
+            d: cat([c.deriv_labels[d] for c in chunks])
+            for d in chunks[0].deriv_labels
+        },
+        time_deriv_label=cat([c.time_deriv_label for c in chunks]),
+        unroll_steps=unroll_steps,
+    )
+
+
+def sample_training_batch(
+    data: TrajectoryData,
+    traj_idx: jnp.ndarray,
+    time_idx: jnp.ndarray,
+    unroll_steps: int | None = None,
+) -> TrainingData:
+    """Gather a flat TrainingData batch (with rollout windows) from the
+    structured dataset. Pure gathers; rollout windows are sliced from
+    ``series`` on the fly. Under jit, pass ``unroll_steps`` explicitly as a
+    static argument (the NamedTuple field would trace as a leaf)."""
+    k = data.unroll_steps if unroll_steps is None else unroll_steps
+    inputs = data.series[traj_idx, time_idx]
+    window = time_idx[:, None] + jnp.arange(1, k + 1)  # [B, K]
+    rollout = data.series[traj_idx[:, None], window]  # [B, K, nx]
+    forcing = (
+        jax.tree.map(lambda leaf: leaf[traj_idx], data.forcing)
+        if data.forcing is not None
+        else None
+    )
+    return TrainingData(
+        inputs=inputs,
+        t=data.times[time_idx],
+        forcing=forcing,
+        deriv_labels={d: v[traj_idx, time_idx] for d, v in data.deriv_labels.items()},
+        time_deriv_label=data.time_deriv_label[traj_idx, time_idx],
+        rollout=rollout,
+    )
+
+
+# ---------------------------------------------------------------------------
 # HDF5 interchange (reference-format parity: dataset 'v' of snapshots).
 # ---------------------------------------------------------------------------
 

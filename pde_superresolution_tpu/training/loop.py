@@ -102,6 +102,13 @@ def train(
     )
     model = StencilModel(equation, coarse, config.model)
 
+    # --- large-ensemble path: trajectory-structured dataset -------------------
+    if isinstance(dataset, data_lib.TrajectoryData):
+        return _train_on_trajectories(
+            config, equation, coarse, model, dataset,
+            checkpoint_dir, metrics_path, mesh,
+        )
+
     # --- data ----------------------------------------------------------------
     if dataset is None:
         key = jax.random.PRNGKey(config.data_seed)
@@ -240,6 +247,152 @@ def train(
 
         if (step + 1) % config.eval_interval == 0 or step + 1 == config.num_steps:
             eval_parts = eval_step(state.params, shard_batch(eval_set))
+            metrics = {
+                **{f"train_{k}": float(v) for k, v in parts.items()},
+                **{f"eval_{k}": float(v) for k, v in eval_parts.items()},
+            }
+            logger.log(step + 1, **metrics)
+        if ckpt_mgr and (
+            (step + 1) % config.checkpoint_interval == 0
+            or step + 1 == config.num_steps
+        ):
+            ckpt_mgr.save(
+                step + 1,
+                args=ocp.args.Composite(
+                    state=ocp.args.StandardSave(state),
+                    config=ocp.args.JsonSave(
+                        __import__("json").loads(config.to_json())
+                    ),
+                ),
+            )
+    if ckpt_mgr:
+        ckpt_mgr.wait_until_finished()
+        ckpt_mgr.close()
+    logger.close()
+    return model, state.params, metrics
+
+
+def _train_on_trajectories(
+    config: TrainingConfig,
+    equation,
+    coarse: Grid,
+    model: StencilModel,
+    data: data_lib.TrajectoryData,
+    checkpoint_dir: Optional[str],
+    metrics_path: Optional[str],
+    mesh: Optional[jax.sharding.Mesh],
+) -> tuple[StencilModel, dict, dict]:
+    """Training over a TrajectoryData ensemble (10k-trajectory scale).
+
+    Differences from the flat path: the train/eval split is BY TRAJECTORY
+    (no leakage of a trajectory's other timesteps into eval), batches are
+    (trajectory, time) index pairs gathered on device by
+    ``sample_training_batch`` (rollout windows sliced on the fly), and the
+    eval set is one fixed sampled batch.
+    """
+    if config.num_time_steps != data.unroll_steps:
+        raise ValueError(
+            f"config.num_time_steps={config.num_time_steps} != dataset "
+            f"unroll_steps={data.unroll_steps}"
+        )
+    n_traj = data.num_trajectories
+    usable = data.usable_times
+    n_train = max(1, int(config.frac_training * n_traj))
+    perm = np.random.RandomState(config.seed).permutation(n_traj)
+    train_traj = jnp.asarray(perm[:n_train])
+    eval_traj = perm[n_train:]
+
+    substeps = config.coarse_time_subsample
+    if substeps == 0:
+        stable = equation.stable_time_step(coarse, u_scale=3.0)
+        substeps = max(1, int(np.ceil(config.time_delta / stable)))
+    dt = config.time_delta
+
+    sample = jax.jit(
+        functools.partial(
+            data_lib.sample_training_batch, unroll_steps=data.unroll_steps
+        )
+    )
+
+    def draw(rng, traj_pool, size):
+        ti = jnp.asarray(rng.choice(traj_pool, size=size))
+        si = jnp.asarray(rng.randint(0, usable, size=size))
+        return sample(data, ti, si)
+
+    rng_eval = np.random.RandomState(config.seed + 7)
+    eval_pool = eval_traj if eval_traj.size else perm[:n_train]
+    eval_batch = draw(rng_eval, eval_pool, min(1024, config.batch_size * 8))
+    norm_batch = draw(
+        np.random.RandomState(config.seed + 11), perm[:n_train], 1024
+    )
+    norms = loss_lib.compute_loss_norms(
+        model, norm_batch, config.num_time_steps, dt, substeps
+    )
+
+    tx = make_optimizer(config)
+    params = model.init_params(jax.random.PRNGKey(config.seed))
+    state = TrainState(params, tx.init(params), jnp.asarray(0, jnp.int32))
+
+    if mesh is not None:
+        replicated = jax.sharding.NamedSharding(
+            mesh, jax.sharding.PartitionSpec()
+        )
+        batch_sharding = jax.sharding.NamedSharding(
+            mesh, jax.sharding.PartitionSpec("data")
+        )
+        state = jax.device_put(state, replicated)
+        shard_batch = lambda b: jax.tree.map(
+            lambda leaf: jax.device_put(leaf, batch_sharding), b
+        )
+    else:
+        shard_batch = lambda b: b
+
+    loss_fn = functools.partial(
+        loss_lib.compute_loss,
+        model,
+        norms=norms,
+        weights=config.loss_weights,
+        dt=dt,
+        unroll_steps=config.num_time_steps,
+        substeps=substeps,
+    )
+
+    @jax.jit
+    def train_step(state: TrainState, batch: data_lib.TrainingData):
+        (_, parts), grads = jax.value_and_grad(
+            lambda p: loss_fn(p, batch), has_aux=True
+        )(state.params)
+        updates, opt_state = tx.update(grads, state.opt_state, state.params)
+        params = optax.apply_updates(state.params, updates)
+        return TrainState(params, opt_state, state.step + 1), parts
+
+    @jax.jit
+    def eval_step(params, batch):
+        return loss_fn(params, batch)[1]
+
+    ckpt_mgr = None
+    if checkpoint_dir:
+        ckpt_mgr = ocp.CheckpointManager(
+            os.path.abspath(checkpoint_dir),
+            options=ocp.CheckpointManagerOptions(max_to_keep=3),
+        )
+        latest = ckpt_mgr.latest_step()
+        if latest is not None:
+            restored = ckpt_mgr.restore(
+                latest,
+                args=ocp.args.Composite(state=ocp.args.StandardRestore(state)),
+            )
+            state = restored["state"]
+
+    logger = MetricsLogger(metrics_path)
+    metrics = {}
+    train_pool = perm[:n_train]
+    for step in range(int(state.step), config.num_steps):
+        rng = np.random.RandomState(config.seed * 100003 + step)
+        batch = shard_batch(draw(rng, train_pool, config.batch_size))
+        state, parts = train_step(state, batch)
+        if (step + 1) % config.eval_interval == 0 or step + 1 == config.num_steps:
+            eval_parts = eval_step(state.params, shard_batch(eval_batch))
             metrics = {
                 **{f"train_{k}": float(v) for k, v in parts.items()},
                 **{f"eval_{k}": float(v) for k, v in eval_parts.items()},
