@@ -29,12 +29,43 @@ flags.DEFINE_string("hparams", "", "comma-separated key=value overrides "
                     "(tuples use ';': learning_rates=1e-3;1e-4)")
 flags.DEFINE_integer("data_parallel", 0,
                      "shard training over this many devices (0 = single)")
+flags.DEFINE_boolean("large_ensemble", False,
+                     "use the trajectory-structured pipeline (chunked "
+                     "on-device generation, lazy rollout windows, "
+                     "by-trajectory eval split) — for 1k-100k-trajectory "
+                     "datasets that the flat pipeline cannot hold")
+flags.DEFINE_integer("chunk_trajectories", 1024,
+                     "trajectories per generation chunk (large_ensemble)")
 
 
 def main(argv):
     del argv
     config = config_lib.parse_hparams(FLAGS.hparams)
     dataset = None
+    if FLAGS.large_ensemble:
+        if FLAGS.input_path:
+            raise ValueError("--large_ensemble generates on device; drop "
+                             "--input_path")
+        import jax
+
+        from pde_superresolution_tpu import equations
+        from pde_superresolution_tpu.grids import Grid
+
+        equation = equations.from_name(
+            config.equation, conservative=config.conservative
+        )
+        fine = Grid(config.fine_size, equation.period)
+        dataset = data_lib.build_trajectory_data(
+            equation, fine, jax.random.PRNGKey(config.data_seed),
+            num_trajectories=config.num_trajectories,
+            num_times=config.num_times,
+            time_delta=config.time_delta,
+            resample_factor=config.resample_factor,
+            unroll_steps=config.num_time_steps,
+            warmup_time=config.warmup_time,
+            ic_scale=config.ic_scale,
+            chunk_trajectories=FLAGS.chunk_trajectories,
+        )
     if FLAGS.input_path:
         import dataclasses
 

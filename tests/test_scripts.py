@@ -97,3 +97,23 @@ class TestCLIPipeline:
         with pytest.raises(AssertionError):
             run_cli("run_training", ["--checkpoint_dir=/tmp/x",
                                      "--hparams=warp_speed=9"])
+
+
+class TestLargeEnsembleCLI:
+    def test_large_ensemble_training(self, tmp_path):
+        ckpt = str(tmp_path / "ck")
+        out = run_cli(
+            "run_training",
+            [f"--checkpoint_dir={ckpt}", "--large_ensemble",
+             "--chunk_trajectories=2", f"--hparams={TINY_HPARAMS}"],
+        )
+        assert "eval_total" in out
+        assert os.path.exists(os.path.join(ckpt, "metrics.jsonl"))
+
+    def test_large_ensemble_rejects_input_path(self, tmp_path):
+        with pytest.raises(AssertionError):
+            run_cli(
+                "run_training",
+                [f"--checkpoint_dir={tmp_path}", "--large_ensemble",
+                 "--input_path=/tmp/nope.h5"],
+            )
