@@ -125,26 +125,12 @@ class PolynomialDifferentiator(Differentiator):
         super().__init__(equation, grid)
         self.accuracy_order = accuracy_order
         staggered = equation.conservative
-        method = (
-            stencils.Method.FINITE_VOLUMES
-            if staggered
-            else stencils.Method.FINITE_DIFFERENCES
-        )
         self.coeffs: dict[int, np.ndarray] = {}
         self.offsets: dict[int, np.ndarray] = {}
         for d in equation.derivative_orders:
-            size = stencil_size or baseline_stencil_size(d, accuracy_order, staggered)
-            # staggered stencils need even sizes (collocated: odd) so the
-            # taps land on grid points; round up here rather than failing
-            # later inside a jitted apply (matches StencilModel's behavior)
-            if staggered and size % 2:
-                size += 1
-            if not staggered and size % 2 == 0:
-                size += 1
-            offsets = stencils.stencil_offsets(size, staggered=staggered)
-            self.offsets[d] = offsets
-            self.coeffs[d] = stencils.coefficients(
-                offsets, method, d, accuracy_order=None, dx=grid.dx
+            self.offsets[d], self.coeffs[d] = stencils.classic_stencil(
+                d, staggered, grid.dx, size=stencil_size,
+                accuracy_order=accuracy_order,
             )
 
     def derivatives(self, u):
@@ -157,18 +143,9 @@ class PolynomialDifferentiator(Differentiator):
         }
 
 
-def baseline_stencil_size(
-    derivative_order: int, accuracy_order: int, staggered: bool
-) -> int:
-    """Smallest stencil achieving ``accuracy_order`` with the right parity.
-
-    Collocated stencils must be odd-sized (symmetric around the point);
-    staggered ones even-sized (symmetric around the face).
-    """
-    size = max(derivative_order + accuracy_order, derivative_order + 1)
-    if staggered:
-        return size + (size % 2)
-    return size if size % 2 else size + 1
+# re-exported for backwards compatibility; implementation lives with the
+# rest of the stencil geometry in stencils.py
+baseline_stencil_size = stencils.baseline_stencil_size
 
 
 # ---------------------------------------------------------------------------
@@ -427,11 +404,30 @@ def integrate_resumable(
             f.create_dataset("carry_u", shape=u0.shape, dtype="float32")
             f.attrs["next"] = 0
             f.attrs["carry_t"] = float(t0)
+            f.attrs["dt"] = float(dt)
+            f.attrs["t0"] = float(t0)
+            f.attrs["method"] = method
         elif tuple(f["u"].shape) != shape:
             raise ValueError(
                 f"existing store {store_path} has shape {f['u'].shape}, "
                 f"expected {shape}; delete it to start fresh"
             )
+        else:
+            # resuming: the integration parameters must match what produced
+            # the stored chunks, or the result would be a silent frankenstein
+            # of two different integrations with mislabeled times
+            for name, val in (("dt", float(dt)), ("t0", float(t0))):
+                stored = float(f.attrs.get(name, val))
+                if abs(stored - val) > 1e-12 * max(abs(val), 1.0):
+                    raise ValueError(
+                        f"store {store_path} was written with {name}="
+                        f"{stored}, called with {val}; delete it to restart"
+                    )
+            if f.attrs.get("method", method) != method:
+                raise ValueError(
+                    f"store {store_path} was written with method="
+                    f"{f.attrs['method']!r}, called with {method!r}"
+                )
         start = int(f.attrs["next"])
         if start == 0:
             f["u"][0] = np.asarray(u0)

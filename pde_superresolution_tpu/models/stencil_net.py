@@ -71,11 +71,6 @@ class StencilModel:
         self.grid = grid
         self.config = config
         staggered = equation.conservative
-        size = config.stencil_size
-        if staggered and size % 2:
-            size += 1
-        if not staggered and size % 2 == 0:
-            size += 1
         method = (
             stencils.Method.FINITE_VOLUMES
             if staggered
@@ -84,9 +79,10 @@ class StencilModel:
         self._shift = -0.5 if staggered else 0.0
         self.constraint_layers: dict[int, object] = {}
         for d in equation.derivative_orders:
-            offsets = stencils.stencil_offsets(size, staggered=staggered)
-            classic = stencils.coefficients(
-                offsets, method, d, accuracy_order=None, dx=grid.dx
+            # shared geometry helper: the model's z=0 scheme and the
+            # evaluation baseline can never drift apart
+            offsets, classic = stencils.classic_stencil(
+                d, staggered, grid.dx, size=config.stencil_size
             )
             if config.constrained and config.polynomial_accuracy_order > 0:
                 # bias must satisfy the (grid-unit) constraint system; pass

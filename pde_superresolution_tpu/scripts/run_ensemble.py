@@ -47,6 +47,7 @@ def main(argv):
     key, k_f = jax.random.split(jax.random.PRNGKey(FLAGS.seed))
     u0 = FLAGS.ic_scale * equation.initial_conditions(key, coarse, (n,))
     forcing = equation.sample_forcing(k_f, (n,))  # None for unforced eqs
+    t0 = 0.0
     if FLAGS.warmup_time > 0:
         # warm up with the exact solver on the coarse grid (cheap, batched)
         dt_w = 0.2 * coarse.dx
@@ -56,6 +57,7 @@ def main(argv):
             forcing=forcing,
         )
         u0 = warm[-1]
+        t0 = steps_w * dt_w  # forcing phase must continue, not reset to 0
 
     dt = equation.stable_time_step(coarse, u_scale=3.0)
     num_steps = int(np.ceil(FLAGS.time_max / dt))
@@ -66,10 +68,12 @@ def main(argv):
     t0 = time.perf_counter()
     if FLAGS.output_path:
         times, traj = integrate.integrate_resumable(
-            rhs, u0, dt, num_steps, save_every, FLAGS.output_path
+            rhs, u0, dt, num_steps, save_every, FLAGS.output_path, t0=t0
         )
     else:
-        times, traj = integrate.integrate(rhs, u0, dt, num_steps, save_every)
+        times, traj = integrate.integrate(
+            rhs, u0, dt, num_steps, save_every, t0=t0
+        )
     jax.block_until_ready(traj)
     elapsed = time.perf_counter() - t0
 

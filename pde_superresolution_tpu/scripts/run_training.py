@@ -52,7 +52,8 @@ def main(argv):
         from pde_superresolution_tpu.grids import Grid
 
         equation = equations.from_name(
-            config.equation, conservative=config.conservative
+            config.equation, conservative=config.conservative,
+            **config.equation_params,
         )
         fine = Grid(config.fine_size, equation.period)
         dataset = data_lib.build_trajectory_data(
@@ -72,9 +73,14 @@ def main(argv):
         snapshots, equation, fine = data_lib.load_snapshots_h5(FLAGS.input_path)
         times = snapshots.times
         time_delta = float(times[1] - times[0]) if times.shape[0] > 1 else config.time_delta
+        eq_params = {
+            k: v for k, v in dataclasses.asdict(equation).items()
+            if k != "conservative"
+        }
         config = dataclasses.replace(
             config,
             equation=equation.name,
+            equation_params=eq_params,  # custom physics (eta, period, ...)
             conservative=equation.conservative,
             fine_size=fine.size,
             time_delta=time_delta,  # the unrolled loss must use the file's

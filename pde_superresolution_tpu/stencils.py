@@ -151,6 +151,46 @@ def coefficients(
     return c_grid / dx**derivative_order
 
 
+def baseline_stencil_size(
+    derivative_order: int, accuracy_order: int, staggered: bool
+) -> int:
+    """Smallest stencil achieving ``accuracy_order`` with the right parity.
+
+    Collocated stencils must be odd-sized (symmetric around the point);
+    staggered ones even-sized (symmetric around the face).
+    """
+    size = max(derivative_order + accuracy_order, derivative_order + 1)
+    if staggered:
+        return size + (size % 2)
+    return size if size % 2 else size + 1
+
+
+def classic_stencil(
+    derivative_order: int,
+    staggered: bool,
+    dx: float,
+    size: int | None = None,
+    accuracy_order: int = 2,
+) -> tuple[np.ndarray, np.ndarray]:
+    """(offsets, classic maximal-accuracy coefficients) for one derivative.
+
+    The ONE place that chooses stencil geometry for a derivative order:
+    parity-corrects ``size`` (collocated odd / staggered even), picks FD vs
+    FV by ``staggered``, and solves the square system. Shared by the
+    baseline differentiator and the learned model so their z=0 schemes can
+    never drift apart.
+    """
+    size = size or baseline_stencil_size(derivative_order, accuracy_order, staggered)
+    if staggered and size % 2:
+        size += 1
+    if not staggered and size % 2 == 0:
+        size += 1
+    offsets = stencil_offsets(size, staggered=staggered)
+    method = Method.FINITE_VOLUMES if staggered else Method.FINITE_DIFFERENCES
+    coeffs = coefficients(offsets, method, derivative_order, None, dx=dx)
+    return offsets, coeffs
+
+
 @dataclasses.dataclass(frozen=True)
 class PolynomialAccuracy:
     """Null-space parameterization of polynomial-accurate stencils.

@@ -20,6 +20,10 @@ from pde_superresolution_tpu.training.losses import LossWeights
 class TrainingConfig:
     # problem
     equation: str = "burgers"
+    # non-default physics parameters (eta, period, ...) forwarded to the
+    # equation constructor; populated automatically when training from an
+    # HDF5 file so custom physics round-trips (not settable via --hparams)
+    equation_params: dict = dataclasses.field(default_factory=dict)
     conservative: bool = True
     resample_factor: int = 8
     fine_size: int = 1024
@@ -58,6 +62,7 @@ class TrainingConfig:
     @classmethod
     def from_json(cls, s: str) -> "TrainingConfig":
         raw = json.loads(s)
+        raw["equation_params"] = dict(raw.get("equation_params", {}))
         raw["model"] = ModelConfig(**raw["model"])
         raw["loss_weights"] = LossWeights(**raw["loss_weights"])
         for k in ("learning_rates", "learning_stops"):

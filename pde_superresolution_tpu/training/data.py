@@ -83,25 +83,17 @@ def generate_snapshots(
     return Snapshots(u=jnp.swapaxes(traj, 0, 1), times=times, forcing=forcing)
 
 
-def build_training_data(
+def _coarse_fields_and_labels(
     equation: Equation,
     fine_grid: Grid,
     snapshots: Snapshots,
-    resample_factor: int,
-    unroll_steps: int = 0,
-) -> TrainingData:
-    """Coarse inputs + spectral labels from fine snapshots (see module doc)."""
-    factor = resample_factor
-    coarse = fine_grid.resample(factor)
+    factor: int,
+    usable: int,
+):
+    """Shared label pipeline: (coarse series [traj, times, nx],
+    {order: labels [traj, usable, nx]}, u_t labels [traj, usable, nx])."""
     conservative = equation.conservative
     u = snapshots.u  # [traj, times, nx_fine]
-    num_traj, num_times, _ = u.shape
-    usable = num_times - unroll_steps
-    if usable < 1:
-        raise ValueError(
-            f"need > {unroll_steps} snapshot times, got {num_times}"
-        )
-
     if conservative:
         coarsen = lambda f: resample.resample_mean(f, factor)
     else:
@@ -109,7 +101,6 @@ def build_training_data(
 
     inputs_all = coarsen(u)  # [traj, times, nx_c]
 
-    # --- derivative labels ---------------------------------------------------
     deriv_labels = {}
     for d in equation.derivative_orders:
         if conservative:
@@ -125,15 +116,37 @@ def build_training_data(
             label = resample.subsample(fine_deriv, factor)
         deriv_labels[d] = label[:, :usable]
 
-    # --- time-derivative label -------------------------------------------------
     # vmap the exact spectral RHS over the time axis; the per-trajectory
     # forcing (closed over) broadcasts against u_i [traj, nx].
     rhs = integrate.SpectralDifferentiator(equation, fine_grid).rhs_fn(
         snapshots.forcing
     )
-    times = snapshots.times  # [num_times]
-    ut_fine = jax.vmap(rhs, in_axes=(1, 0), out_axes=1)(u, times)
+    ut_fine = jax.vmap(rhs, in_axes=(1, 0), out_axes=1)(u, snapshots.times)
     time_deriv_label = coarsen(ut_fine)[:, :usable]
+    return inputs_all, deriv_labels, time_deriv_label
+
+
+def build_training_data(
+    equation: Equation,
+    fine_grid: Grid,
+    snapshots: Snapshots,
+    resample_factor: int,
+    unroll_steps: int = 0,
+) -> TrainingData:
+    """Coarse inputs + spectral labels from fine snapshots (see module doc)."""
+    factor = resample_factor
+    coarse = fine_grid.resample(factor)
+    u = snapshots.u  # [traj, times, nx_fine]
+    num_traj, num_times, _ = u.shape
+    usable = num_times - unroll_steps
+    if usable < 1:
+        raise ValueError(
+            f"need > {unroll_steps} snapshot times, got {num_times}"
+        )
+    times = snapshots.times
+    inputs_all, deriv_labels, time_deriv_label = _coarse_fields_and_labels(
+        equation, fine_grid, snapshots, factor, usable
+    )
 
     # --- rollout labels ----------------------------------------------------------
     if unroll_steps > 0:
@@ -216,6 +229,7 @@ def build_trajectory_data(
     """
     chunks = []
     times = None
+    usable = num_times - unroll_steps
     num_chunks = int(np.ceil(num_trajectories / chunk_trajectories))
     for c in range(num_chunks):
         n_c = min(chunk_trajectories, num_trajectories - c * chunk_trajectories)
@@ -223,24 +237,16 @@ def build_trajectory_data(
             equation, fine_grid, jax.random.fold_in(key, c), n_c, num_times,
             time_delta, warmup_time=warmup_time, ic_scale=ic_scale,
         )
-        flatd = build_training_data(  # reuse the label pipeline...
-            equation, fine_grid, snaps, resample_factor, unroll_steps=0
+        series, deriv_labels, ut_label = _coarse_fields_and_labels(
+            equation, fine_grid, snaps, resample_factor, usable
         )
-        usable = num_times  # unroll 0 => all times usable
-        nx = flatd.inputs.shape[-1]
-        unflat = lambda a: a.reshape((n_c, usable) + a.shape[1:])
         chunks.append(
             TrajectoryData(
-                series=unflat(flatd.inputs),
+                series=series,
                 times=snaps.times,
                 forcing=snaps.forcing,
-                deriv_labels={
-                    d: unflat(v)[:, : num_times - unroll_steps]
-                    for d, v in flatd.deriv_labels.items()
-                },
-                time_deriv_label=unflat(flatd.time_deriv_label)[
-                    :, : num_times - unroll_steps
-                ],
+                deriv_labels=deriv_labels,
+                time_deriv_label=ut_label,
                 unroll_steps=unroll_steps,
             )
         )

@@ -95,7 +95,11 @@ def train(
     auto-partitions the rolls/convs — verified gradient-exact in
     tests/test_parallel.py). Gradients reduce via XLA collectives.
     """
-    equation = from_name(config.equation, conservative=config.conservative)
+    equation = from_name(
+        config.equation,
+        conservative=config.conservative,
+        **config.equation_params,
+    )
     fine = Grid(config.fine_size, equation.period)
     coarse = fine.resample(
         config.resample_factor, conservative=config.conservative
@@ -319,9 +323,14 @@ def _train_on_trajectories(
         si = jnp.asarray(rng.randint(0, usable, size=size))
         return sample(data, ti, si)
 
+    if eval_traj.size == 0:
+        raise ValueError(
+            "by-trajectory eval split is empty: lower frac_training or add "
+            "trajectories (silently evaluating on training trajectories "
+            "would defeat the no-leakage guarantee)"
+        )
     rng_eval = np.random.RandomState(config.seed + 7)
-    eval_pool = eval_traj if eval_traj.size else perm[:n_train]
-    eval_batch = draw(rng_eval, eval_pool, min(1024, config.batch_size * 8))
+    eval_batch = draw(rng_eval, eval_traj, min(1024, config.batch_size * 8))
     norm_batch = draw(
         np.random.RandomState(config.seed + 11), perm[:n_train], 1024
     )
@@ -334,6 +343,11 @@ def _train_on_trajectories(
     state = TrainState(params, tx.init(params), jnp.asarray(0, jnp.int32))
 
     if mesh is not None:
+        if config.batch_size % mesh.shape["data"]:
+            raise ValueError(
+                f"batch_size {config.batch_size} must be divisible by the "
+                f"mesh data axis ({mesh.shape['data']})"
+            )
         replicated = jax.sharding.NamedSharding(
             mesh, jax.sharding.PartitionSpec()
         )
@@ -446,7 +460,11 @@ def load_model(checkpoint_dir: str) -> tuple[StencilModel, dict, TrainingConfig]
     restored = mgr.restore(step)
     mgr.close()
     config = TrainingConfig.from_json(json.dumps(restored["config"]))
-    equation = from_name(config.equation, conservative=config.conservative)
+    equation = from_name(
+        config.equation,
+        conservative=config.conservative,
+        **config.equation_params,
+    )
     fine = Grid(config.fine_size, equation.period)
     model = StencilModel(
         equation,
