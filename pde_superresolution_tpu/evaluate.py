@@ -65,6 +65,21 @@ def survival_time_from_correlation(
     return times[idx]
 
 
+def survival_time_from_mae(
+    mae: jnp.ndarray,
+    times: jnp.ndarray,
+    threshold: float,
+) -> jnp.ndarray:
+    """Alternative validity criterion: first time the MAE exceeds
+    ``threshold`` (monotone: once dead, always dead). The reference's exact
+    rule is unknown (SURVEY.md); the correlation criterion is the default,
+    this is provided for MAE-threshold analyses on saved EvalResults."""
+    alive = jnp.cumprod((mae <= threshold).astype(jnp.int32), axis=-1)
+    n_alive = alive.sum(axis=-1)
+    idx = jnp.clip(n_alive - 1, 0, times.shape[0] - 1)
+    return times[idx]
+
+
 def evaluate(
     equation: Equation,
     fine_grid: Grid,

@@ -335,7 +335,15 @@ def save_snapshots_h5(
 def load_snapshots_h5(path: str) -> tuple[Snapshots, Equation, Grid]:
     with h5py.File(path, "r") as f:
         u = jnp.asarray(f["v"][...])
-        times = jnp.asarray(f["times"][...])
+        if u.ndim == 2:
+            # reference-style 2-D snapshot matrix [samples, nx]: treat as a
+            # single trajectory (SURVEY.md: exact reference layout unverified)
+            u = u[None]
+        times = (
+            jnp.asarray(f["times"][...])
+            if "times" in f
+            else jnp.arange(u.shape[1], dtype=jnp.float32)
+        )
         forcing = None
         if "forcing" in f:
             forcing = ForcingParams(

@@ -114,3 +114,13 @@ class TestEvaluateEndToEnd:
         assert np.isfinite(np.asarray(result.exact)).all()
         corr0 = np.asarray(result.correlation["baseline"])[:, 0]
         np.testing.assert_allclose(corr0, 1.0, atol=1e-3)
+
+
+class TestMAESurvival:
+    def test_threshold_crossing(self):
+        times = jnp.asarray([0.0, 1.0, 2.0, 3.0])
+        mae = jnp.asarray([[0.0, 0.1, 0.5, 0.2]])  # exceeds 0.3 at idx 2
+        got = evaluate.survival_time_from_mae(mae, times, 0.3)
+        np.testing.assert_allclose(np.asarray(got), [1.0])
+        got = evaluate.survival_time_from_mae(mae, times, 1.0)
+        np.testing.assert_allclose(np.asarray(got), [3.0])

@@ -227,3 +227,20 @@ class TestTrajectoryData:
         restored = loop_lib.restore_params(str(tmp_path / "ck"))
         for a, b in zip(jax.tree.leaves(restored), jax.tree.leaves(params)):
             np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+
+
+class TestLegacy2DH5:
+    def test_2d_snapshot_matrix_loads(self, tmp_path):
+        import h5py
+        path = str(tmp_path / "legacy.h5")
+        rng = np.random.RandomState(0)
+        with h5py.File(path, "w") as f:
+            f.create_dataset("v", data=rng.randn(12, 64).astype(np.float32))
+            f.attrs["equation"] = "burgers"
+            f.attrs["conservative"] = True
+            f.attrs["period"] = 6.28
+            f.attrs["fine_size"] = 64
+        snaps, eq, grid = load_snapshots_h5(path)
+        assert snaps.u.shape == (1, 12, 64)
+        assert snaps.times.shape == (12,)
+        assert abs(eq.period - 6.28) < 1e-6
