@@ -65,7 +65,11 @@ def main(argv):
     num_steps = save_every * FLAGS.num_saves
     rhs = model.rhs_fn(params, forcing)
 
-    t0 = time.perf_counter()
+    # NOTE: t0 is the PHYSICAL start time (warmup end) — the forcing phase
+    # must continue across the warmup handoff. Keep the wall-clock timer in
+    # a separate variable (a past version clobbered t0 here, feeding
+    # perf_counter() seconds into the forcing phase).
+    wall_start = time.perf_counter()
     if FLAGS.output_path:
         times, traj = integrate.integrate_resumable(
             rhs, u0, dt, num_steps, save_every, FLAGS.output_path, t0=t0
@@ -75,7 +79,7 @@ def main(argv):
             rhs, u0, dt, num_steps, save_every, t0=t0
         )
     jax.block_until_ready(traj)
-    elapsed = time.perf_counter() - t0
+    elapsed = time.perf_counter() - wall_start
 
     final = np.asarray(traj[-1])
     finite = np.isfinite(final).all(axis=-1)
@@ -83,6 +87,10 @@ def main(argv):
     print(
         f"{n} trajectories x {num_steps} RK4 steps (nx={coarse.size}) in "
         f"{elapsed:.1f}s = {n * num_steps / elapsed:,.0f} traj-steps/s/chip"
+    )
+    print(
+        f"physical time window t=[{float(times[0]):.6f}, "
+        f"{float(times[-1]):.6f}] (warmup handoff at t0={t0:.6f})"
     )
     print(
         f"finite: {int(finite.sum())}/{n} | final rms "

@@ -93,6 +93,32 @@ class TestCLIPipeline:
         )
         assert "traj-steps/s" in out
 
+    def test_ensemble_warmup_keeps_physical_t0(self, pipeline_dirs):
+        """Regression: the wall-clock timer must not clobber the physical
+        start time. With --warmup_time>0 on a FORCED equation (burgers), the
+        integration must start at the warmup end — a small physical time —
+        not at time.perf_counter() (~1e5 s of uptime), which would feed a
+        garbage phase into the forcing and mislabel every snapshot time."""
+        import re
+
+        import h5py
+
+        _, ckpt, root = pipeline_dirs
+        store = str(root / "ens_warm.h5")
+        out = run_cli(
+            "run_ensemble",
+            [f"--checkpoint_dir={ckpt}", "--num_trajectories=4",
+             "--time_max=0.2", "--num_saves=2", "--warmup_time=0.1",
+             f"--output_path={store}"],
+        )
+        m = re.search(r"warmup handoff at t0=([0-9.eE+-]+)", out)
+        assert m, out
+        t0 = float(m.group(1))
+        # warmup rounds UP to whole exact-solver steps: t0 in [0.1, 0.1+dt_w]
+        assert 0.1 <= t0 < 0.2, t0
+        with h5py.File(store, "r") as f:
+            assert abs(float(f.attrs["t0"]) - t0) < 1e-6
+
     def test_bad_flag_fails_cleanly(self):
         with pytest.raises(AssertionError):
             run_cli("run_training", ["--checkpoint_dir=/tmp/x",
