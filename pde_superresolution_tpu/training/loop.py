@@ -61,6 +61,59 @@ def make_optimizer(config: TrainingConfig) -> optax.GradientTransformation:
     return optax.apply_if_finite(optax.chain(*chain), max_consecutive_errors=10**6)
 
 
+# Config fields allowed to differ when resuming from a checkpoint: they
+# only extend/re-pace the run, never change model/optimizer/data semantics.
+# (learning_stops is special-cased: only its LAST element — which sets
+# num_steps, not the schedule's boundaries — may change.)
+_RESUME_MUTABLE = frozenset(
+    {"eval_interval", "checkpoint_interval", "learning_stops"}
+)
+
+
+def _restore_state(ckpt_mgr, state: TrainState, config: TrainingConfig):
+    """Restore the latest step's state, validating the live config against
+    the one embedded in the checkpoint.
+
+    Resuming a directory with changed hparams would silently continue with
+    mismatched optimizer/schedule/data semantics — the same contract
+    ``integrate_resumable`` enforces on (dt, t0, method). Raises ValueError
+    listing every differing field outside ``_RESUME_MUTABLE``.
+    """
+    import json
+
+    latest = ckpt_mgr.latest_step()
+    if latest is None:
+        return state
+    # restore the config FIRST, alone: with a changed model architecture the
+    # state restore itself fails deep in orbax with a shape error — the
+    # config diff below is the actionable message.
+    stored = ckpt_mgr.restore(
+        latest, args=ocp.args.Composite(config=ocp.args.JsonRestore())
+    )["config"]
+    live = json.loads(config.to_json())
+    diffs = {
+        k: (stored.get(k), live.get(k))
+        for k in sorted(set(stored) | set(live))
+        if k not in _RESUME_MUTABLE and stored.get(k) != live.get(k)
+    }
+    s_stops = list(stored.get("learning_stops", []))
+    l_stops = list(live.get("learning_stops", []))
+    if s_stops[:-1] != l_stops[:-1] or len(s_stops) != len(l_stops):
+        diffs["learning_stops"] = (s_stops, l_stops)
+    if diffs:
+        raise ValueError(
+            f"checkpoint at step {latest} was written with a different "
+            f"config; refusing to resume. Differing fields "
+            f"(stored, live): {diffs}. Use a fresh checkpoint_dir or "
+            f"match the stored config."
+        )
+    restored = ckpt_mgr.restore(
+        latest,
+        args=ocp.args.Composite(state=ocp.args.StandardRestore(state)),
+    )
+    return restored["state"]
+
+
 def _slice_batch(dataset: data_lib.TrainingData, idx: jnp.ndarray) -> data_lib.TrainingData:
     take = lambda leaf: jnp.take(leaf, idx, axis=0)
     return data_lib.TrainingData(
@@ -136,6 +189,13 @@ def train(
 
     n = dataset.num_samples
     n_train = int(config.frac_training * n)
+    if n_train == n:
+        # mean over an empty eval slice would silently yield NaN metrics
+        # (the trajectory path raises for the same condition)
+        raise ValueError(
+            f"eval split is empty ({n} samples, frac_training="
+            f"{config.frac_training}): lower frac_training or add data"
+        )
     perm = np.random.RandomState(config.seed).permutation(n)
     train_set = _slice_batch(dataset, jnp.asarray(perm[:n_train]))
     eval_set = _slice_batch(dataset, jnp.asarray(perm[n_train:]))
@@ -227,15 +287,7 @@ def train(
             os.path.abspath(checkpoint_dir),
             options=ocp.CheckpointManagerOptions(max_to_keep=3),
         )
-        latest = ckpt_mgr.latest_step()
-        if latest is not None:
-            restored = ckpt_mgr.restore(
-                latest,
-                args=ocp.args.Composite(
-                    state=ocp.args.StandardRestore(state),
-                ),
-            )
-            state = restored["state"]
+        state = _restore_state(ckpt_mgr, state, config)
 
     logger = MetricsLogger(metrics_path)
     metrics = {}
@@ -390,13 +442,7 @@ def _train_on_trajectories(
             os.path.abspath(checkpoint_dir),
             options=ocp.CheckpointManagerOptions(max_to_keep=3),
         )
-        latest = ckpt_mgr.latest_step()
-        if latest is not None:
-            restored = ckpt_mgr.restore(
-                latest,
-                args=ocp.args.Composite(state=ocp.args.StandardRestore(state)),
-            )
-            state = restored["state"]
+        state = _restore_state(ckpt_mgr, state, config)
 
     logger = MetricsLogger(metrics_path)
     metrics = {}

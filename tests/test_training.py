@@ -140,6 +140,47 @@ class TestTrainLoop:
         for a, b in zip(leaves_r, leaves_f):
             np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=1e-6)
 
+    def test_resume_rejects_changed_config(self, tmp_path):
+        """Resuming a checkpoint dir with different hparams must raise, not
+        silently continue with mismatched optimizer/schedule semantics."""
+        ckpt_dir = str(tmp_path / "ckpt")
+        half = dataclasses.replace(TINY, learning_stops=(15,))
+        loop_lib.train(half, checkpoint_dir=ckpt_dir)
+        # changed optimizer semantics: different learning rate
+        bad_lr = dataclasses.replace(
+            TINY, learning_rates=(5e-4,), learning_stops=(30,)
+        )
+        with pytest.raises(ValueError, match="learning_rates"):
+            loop_lib.train(bad_lr, checkpoint_dir=ckpt_dir)
+        # changed model architecture
+        bad_model = dataclasses.replace(
+            TINY, model=dataclasses.replace(TINY.model, filters=16)
+        )
+        with pytest.raises(ValueError, match="model"):
+            loop_lib.train(bad_model, checkpoint_dir=ckpt_dir)
+        # changed schedule SHAPE (an interior stop boundary) is rejected even
+        # though extending the final stop (= num_steps) is allowed
+        bad_stops = dataclasses.replace(
+            TINY, learning_rates=(1e-3, 1e-3), learning_stops=(10, 30)
+        )
+        with pytest.raises(ValueError, match="learning_stops"):
+            loop_lib.train(bad_stops, checkpoint_dir=ckpt_dir)
+
+    def test_empty_eval_split_raises(self):
+        """frac_training=1 must raise instead of yielding NaN eval metrics."""
+        eq = equations.from_name(TINY.equation, conservative=True)
+        fine = Grid(TINY.fine_size, eq.period)
+        snaps = generate_snapshots(
+            eq, fine, jax.random.PRNGKey(0), num_trajectories=2, num_times=6,
+            time_delta=0.1,
+        )
+        dataset = build_training_data(
+            eq, fine, snaps, TINY.resample_factor, unroll_steps=0
+        )
+        cfg = dataclasses.replace(TINY, frac_training=1.0, num_time_steps=0)
+        with pytest.raises(ValueError, match="eval split is empty"):
+            loop_lib.train(cfg, dataset=dataset)
+
 
 class TestHparams:
     def test_parse_overrides(self):
