@@ -206,7 +206,8 @@ def train(
         substeps = max(1, int(np.ceil(config.time_delta / stable)))
     dt = config.time_delta  # snapshot spacing; inner step = dt / substeps
     norms = loss_lib.compute_loss_norms(
-        model, train_set, config.num_time_steps, dt, substeps
+        model, train_set, config.num_time_steps, dt, substeps,
+        floor_quantile=config.loss_weights.error_floor_quantile,
     )
 
     # --- optimizer / state -----------------------------------------------------
@@ -387,7 +388,8 @@ def _train_on_trajectories(
         np.random.RandomState(config.seed + 11), perm[:n_train], 1024
     )
     norms = loss_lib.compute_loss_norms(
-        model, norm_batch, config.num_time_steps, dt, substeps
+        model, norm_batch, config.num_time_steps, dt, substeps,
+        floor_quantile=config.loss_weights.error_floor_quantile,
     )
 
     tx = make_optimizer(config)

@@ -34,11 +34,30 @@ from pde_superresolution_tpu.training.data import TrainingData
 
 @dataclasses.dataclass(frozen=True)
 class LossWeights:
-    """Relative weights per target (≈ hparams *_weight names, unverified)."""
+    """Relative weights per target (≈ hparams *_weight names, unverified).
+
+    ``absolute_error``/``relative_error`` mix two error forms per target
+    (≈ the reference's absolute/relative error hparams, names [MED]):
+
+      * absolute: MAE normalized by the baseline scheme's dataset-level MAE
+        (the original form; baseline ≡ 1.0 per target);
+      * relative: POINTWISE |error| divided by the baseline scheme's
+        |error| at the same point, floored at the ``error_floor_quantile``
+        quantile of the baseline error distribution (static, from the
+        training set). This emphasizes points where the baseline is already
+        accurate — smooth regions — instead of letting shock-dominated
+        points swamp the mean. At zero params (model ≡ baseline) it is
+        ≈ 1.0 as well, so the two forms mix on a common scale.
+
+    Defaults (1.0 / 0.0) reproduce the absolute-only loss exactly.
+    """
 
     space_derivatives: float = 1.0
     time_derivative: float = 1.0
     integrated_solution: float = 1.0
+    absolute_error: float = 1.0
+    relative_error: float = 0.0
+    error_floor_quantile: float = 0.1
 
 
 ROLLOUT_CLIP = 100.0  # bound on |u| during unrolled training rollouts
@@ -84,11 +103,16 @@ def rollout_states(
 
 
 class LossNorms(typing.NamedTuple):
-    """Static per-target normalization: the baseline scheme's MAE."""
+    """Static per-target normalization: the baseline scheme's MAE, plus
+    per-target floors (the ``error_floor_quantile`` quantile of the
+    baseline's pointwise |error|) for the relative-error form."""
 
     derivs: dict  # {order: float}
     time_deriv: float
     integrated: tuple  # per-unroll-step float
+    deriv_floors: dict = {}  # {order: float}
+    time_floor: float = 1e-7
+    integrated_floors: tuple = ()
 
 
 def _mae(pred, label):
@@ -103,15 +127,26 @@ def compute_loss_norms(
     substeps: int = 1,
     floor: float = 1e-7,
     max_samples: int = 1024,
+    floor_quantile: float = 0.1,
 ) -> LossNorms:
-    """Baseline-scheme MAEs on (a subset of) the dataset, as static floats."""
+    """Baseline-scheme MAEs on (a subset of) the dataset, as static floats.
+
+    Also computes the per-target relative-error floors: the
+    ``floor_quantile`` quantile of the baseline's pointwise |error| (so the
+    relative form cannot blow up where the baseline is exact).
+    """
     n = min(data.num_samples, max_samples)
     u = data.inputs[:n]
+
+    def quantile_floor(err):
+        return max(float(np.quantile(np.abs(np.asarray(err)), floor_quantile)), floor)
+
     base_derivs = model.baseline_derivatives(u)
-    d_norms = {
-        d: max(float(_mae(base_derivs[d], data.deriv_labels[d][:n])), floor)
-        for d in base_derivs
-    }
+    d_norms, d_floors = {}, {}
+    for d in base_derivs:
+        err = base_derivs[d] - data.deriv_labels[d][:n]
+        d_norms[d] = max(float(jnp.mean(jnp.abs(err))), floor)
+        d_floors[d] = quantile_floor(err)
     forcing = (
         jax.tree.map(lambda leaf: leaf[:n], data.forcing)
         if data.forcing is not None
@@ -120,9 +155,11 @@ def compute_loss_norms(
     ut_base = model.equation.time_derivative(
         u, base_derivs, model.grid, data.t[:n], forcing
     )
-    t_norm = max(float(_mae(ut_base, data.time_deriv_label[:n])), floor)
+    t_err = ut_base - data.time_deriv_label[:n]
+    t_norm = max(float(jnp.mean(jnp.abs(t_err))), floor)
+    t_floor = quantile_floor(t_err)
 
-    int_norms = []
+    int_norms, int_floors = [], []
     if unroll_steps > 0:
         # the normalizing baseline must be the MODEL's own zero-z scheme
         # (same stencil width): a narrower default baseline can be unstable
@@ -136,10 +173,17 @@ def compute_loss_norms(
         states = rollout_states(rhs, u, data.t[:n], dt, substeps, unroll_steps)
         for k in range(unroll_steps):
             cur = jnp.nan_to_num(states[k], nan=1e3, posinf=1e3, neginf=-1e3)
-            int_norms.append(
-                max(float(_mae(cur, data.rollout[:n, k])), floor)
-            )
-    return LossNorms(derivs=d_norms, time_deriv=t_norm, integrated=tuple(int_norms))
+            err = cur - data.rollout[:n, k]
+            int_norms.append(max(float(jnp.mean(jnp.abs(err))), floor))
+            int_floors.append(quantile_floor(err))
+    return LossNorms(
+        derivs=d_norms,
+        time_deriv=t_norm,
+        integrated=tuple(int_norms),
+        deriv_floors=d_floors,
+        time_floor=t_floor,
+        integrated_floors=tuple(int_floors),
+    )
 
 
 def compute_loss(
@@ -152,20 +196,50 @@ def compute_loss(
     unroll_steps: int,
     substeps: int = 1,
 ) -> tuple[jnp.ndarray, dict]:
-    """Total weighted loss + per-target breakdown for logging. Jit-able."""
+    """Total weighted loss + per-target breakdown for logging. Jit-able.
+
+    Each target's part mixes the absolute form (MAE / dataset baseline MAE)
+    and the relative form (pointwise |err| / floored baseline |err|) with
+    the static ``weights.absolute_error`` / ``weights.relative_error``; the
+    baseline's pointwise errors are recomputed in-graph per batch (cheap
+    fixed-stencil convolutions; for the integrated target, a second
+    baseline rollout — only traced when relative_error > 0).
+    """
     u, t, forcing = batch.inputs, batch.t, batch.forcing
     derivs = model.derivatives(params, u)
+
+    w_abs, w_rel = weights.absolute_error, weights.relative_error
+    use_rel = w_rel > 0  # static: weights are baked into the jitted loss
+    base_derivs = model.baseline_derivatives(u) if use_rel else None
+
+    def mix(pred, label, norm, base_pred, rel_floor):
+        part = w_abs * (_mae(pred, label) / norm)
+        if use_rel:
+            scale = jnp.maximum(jnp.abs(base_pred - label), rel_floor)
+            part = part + w_rel * jnp.mean(jnp.abs(pred - label) / scale)
+        return part
 
     parts = {}
     loss = 0.0
     num_orders = len(derivs)
     for d, pred in derivs.items():
-        part = _mae(pred, batch.deriv_labels[d]) / norms.derivs[d]
+        part = mix(
+            pred,
+            batch.deriv_labels[d],
+            norms.derivs[d],
+            base_derivs[d] if use_rel else None,
+            norms.deriv_floors.get(d, 1e-7) if use_rel else None,
+        )
         parts[f"deriv_{d}"] = part
         loss = loss + weights.space_derivatives * part / num_orders
 
     ut = model.equation.time_derivative(u, derivs, model.grid, t, forcing)
-    part = _mae(ut, batch.time_deriv_label) / norms.time_deriv
+    ut_base = (
+        model.equation.time_derivative(u, base_derivs, model.grid, t, forcing)
+        if use_rel
+        else None
+    )
+    part = mix(ut, batch.time_deriv_label, norms.time_deriv, ut_base, norms.time_floor)
     parts["time_deriv"] = part
     loss = loss + weights.time_derivative * part
 
@@ -176,9 +250,28 @@ def compute_loss(
         # rollout stays inside the stable region regardless of how the data
         # was sampled. See rollout_states for the clip/remat story.
         states = rollout_states(rhs, u, t, dt, substeps, unroll_steps)
+        base_states = None
+        if use_rel:
+
+            def base_rhs(ut_, t_):
+                return model.equation.time_derivative(
+                    ut_, model.baseline_derivatives(ut_), model.grid, t_, forcing
+                )
+
+            base_states = rollout_states(base_rhs, u, t, dt, substeps, unroll_steps)
         int_loss = 0.0
         for k in range(unroll_steps):
-            part = _mae(states[k], batch.rollout[:, k]) / norms.integrated[k]
+            part = mix(
+                states[k],
+                batch.rollout[:, k],
+                norms.integrated[k],
+                base_states[k] if use_rel else None,
+                (
+                    norms.integrated_floors[k]
+                    if use_rel and k < len(norms.integrated_floors)
+                    else 1e-7
+                ),
+            )
             parts[f"integrated_{k}"] = part
             int_loss = int_loss + part / unroll_steps
         parts["integrated"] = int_loss

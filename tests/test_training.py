@@ -110,6 +110,65 @@ class TestDataPipeline:
             if key.startswith("deriv") or key == "time_deriv":
                 assert abs(float(parts[key]) - 1.0) < 1e-3, (key, parts[key])
 
+    def test_relative_error_mixing(self):
+        """relative_error form: ≈1 at zero params; mixing adds the forms;
+        defaults reproduce the absolute-only loss exactly."""
+        eq = equations.from_name("burgers", conservative=True)
+        fine = Grid(128, eq.period)
+        snaps = generate_snapshots(
+            eq, fine, jax.random.PRNGKey(0), num_trajectories=2, num_times=8,
+            time_delta=0.05,
+        )
+        data = build_training_data(eq, fine, snaps, resample_factor=4, unroll_steps=2)
+        model = StencilModel(
+            eq, fine.resample(4), ModelConfig(num_layers=1, filters=4, stencil_size=4)
+        )
+        params = model.init_params(jax.random.PRNGKey(0))
+        norms = loss_lib.compute_loss_norms(model, data, 2, 0.05, substeps=4)
+        kwargs = dict(dt=0.05, unroll_steps=2, substeps=4)
+        loss_abs, parts_abs = loss_lib.compute_loss(
+            model, params, data, norms, LossWeights(), **kwargs
+        )
+        # relative-only: zero params == baseline, so |err|/max(|err|,floor)
+        # is exactly 1 except at the <=10% floored points => part in (0.9, 1]
+        _, parts_rel = loss_lib.compute_loss(
+            model, params, data, norms,
+            LossWeights(absolute_error=0.0, relative_error=1.0), **kwargs
+        )
+        for key, v in parts_rel.items():
+            if key.startswith("deriv") or key == "time_deriv":
+                assert 0.85 < float(v) <= 1.0 + 1e-5, (key, v)
+        # mixed 1+1 at zero params: each part ≈ abs_part + rel_part
+        _, parts_mix = loss_lib.compute_loss(
+            model, params, data, norms,
+            LossWeights(absolute_error=1.0, relative_error=1.0), **kwargs
+        )
+        key = "deriv_1"
+        np.testing.assert_allclose(
+            float(parts_mix[key]),
+            float(parts_abs[key]) + float(parts_rel[key]),
+            rtol=1e-5,
+        )
+        # default weights == explicit absolute-only, bitwise
+        loss_d, _ = loss_lib.compute_loss(
+            model, params, data, norms,
+            LossWeights(absolute_error=1.0, relative_error=0.0), **kwargs
+        )
+        assert float(loss_d) == float(loss_abs)
+
+    def test_relative_error_trains(self):
+        """e2e smoke: training with relative_error mixing runs and stays finite."""
+        import dataclasses as dc
+        from pde_superresolution_tpu.training import LossWeights as LW
+
+        cfg = dc.replace(
+            TINY,
+            learning_stops=(10,),
+            loss_weights=LW(absolute_error=0.5, relative_error=0.5),
+        )
+        _, _, metrics = loop_lib.train(cfg)
+        assert np.isfinite(metrics["eval_total"]), metrics
+
 
 class TestTrainLoop:
     def test_loss_decreases_and_checkpoints(self, tmp_path):
