@@ -21,6 +21,10 @@ FLAGS = flags.FLAGS
 
 flags.DEFINE_string("input_path", None,
                     "HDF5 snapshots (optional; default: generate on device)")
+flags.DEFINE_integer("input_num_trajectories", 0,
+                     "trajectory count for a 2-D [samples, x] --input_path "
+                     "matrix (0 = use the file's num_trajectories attr, or "
+                     "treat the matrix as one contiguous trajectory)")
 flags.DEFINE_string("checkpoint_dir", None, "checkpoint directory",
                     required=True)
 flags.DEFINE_string("metrics_path", None,
@@ -70,7 +74,10 @@ def main(argv):
     if FLAGS.input_path:
         import dataclasses
 
-        snapshots, equation, fine = data_lib.load_snapshots_h5(FLAGS.input_path)
+        snapshots, equation, fine = data_lib.load_snapshots_h5(
+            FLAGS.input_path,
+            num_trajectories=FLAGS.input_num_trajectories or None,
+        )
         times = snapshots.times
         time_delta = float(times[1] - times[0]) if times.shape[0] > 1 else config.time_delta
         eq_params = {

@@ -39,6 +39,12 @@ class Snapshots(typing.NamedTuple):
     u: jnp.ndarray  # [num_trajectories, num_times, nx_fine]
     times: jnp.ndarray  # [num_times]
     forcing: Optional[ForcingParams]  # leaves [num_trajectories, terms]
+    # True when the file carried no 'times' dataset and times were
+    # synthesized as arange (unit spacing): fine for derivative-only
+    # training, but unrolled-loss rollout labels would silently assume a
+    # wrong (and possibly boundary-crossing) time structure — see
+    # build_training_data.
+    synthetic_times: bool = False
 
 
 class TrainingData(typing.NamedTuple):
@@ -142,6 +148,14 @@ def build_training_data(
     if usable < 1:
         raise ValueError(
             f"need > {unroll_steps} snapshot times, got {num_times}"
+        )
+    if unroll_steps > 0 and snapshots.synthetic_times:
+        raise ValueError(
+            "unrolled-loss training from snapshots with synthesized times: "
+            "the file carried no 'times' dataset, so the snapshot spacing "
+            "(and trajectory structure) is unknown and rollout labels would "
+            "be silently wrong. Set num_time_steps=0 (derivative-only "
+            "training) or use a file with an explicit 'times' dataset."
         )
     times = snapshots.times
     inputs_all, deriv_labels, time_deriv_label = _coarse_fields_and_labels(
@@ -332,18 +346,56 @@ def save_snapshots_h5(
                 g.create_dataset(name, data=np.asarray(leaf))
 
 
-def load_snapshots_h5(path: str) -> tuple[Snapshots, Equation, Grid]:
+def load_snapshots_h5(
+    path: str, num_trajectories: Optional[int] = None
+) -> tuple[Snapshots, Equation, Grid]:
+    """Load snapshots; both layouts are accepted:
+
+      * native 3-D ``v`` [trajectory, time, x] + ``times`` [time];
+      * reference-style 2-D ``v`` [samples, x] (exact reference layout
+        unverified — SURVEY.md §7-7). The sample axis is split into
+        ``num_trajectories`` equal trajectories (argument, or the file's
+        ``num_trajectories`` attr); with neither, it is treated as ONE
+        contiguous trajectory and a warning is emitted, since rollout
+        windows would silently span any hidden trajectory boundaries.
+
+    When the file has no ``times`` dataset, times are synthesized as arange
+    and the snapshots are marked ``synthetic_times``; build_training_data
+    then refuses unrolled-loss training (the spacing is unknown).
+    """
+    import warnings
+
     with h5py.File(path, "r") as f:
         u = jnp.asarray(f["v"][...])
+        synthetic = False
         if u.ndim == 2:
-            # reference-style 2-D snapshot matrix [samples, nx]: treat as a
-            # single trajectory (SURVEY.md: exact reference layout unverified)
-            u = u[None]
-        times = (
-            jnp.asarray(f["times"][...])
-            if "times" in f
-            else jnp.arange(u.shape[1], dtype=jnp.float32)
-        )
+            count = num_trajectories or int(f.attrs.get("num_trajectories", 0))
+            if count:
+                if u.shape[0] % count:
+                    raise ValueError(
+                        f"2-D snapshot matrix with {u.shape[0]} samples does "
+                        f"not divide into num_trajectories={count}"
+                    )
+                u = u.reshape(count, u.shape[0] // count, u.shape[1])
+            else:
+                warnings.warn(
+                    f"{path}: 2-D snapshot matrix with no trajectory count "
+                    "(num_trajectories attr or argument): treating all "
+                    f"{u.shape[0]} samples as ONE contiguous trajectory. If "
+                    "the rows are independent snapshots or concatenated "
+                    "trajectories, declare the count.",
+                    stacklevel=2,
+                )
+                u = u[None]
+        if "times" in f:
+            times = jnp.asarray(f["times"][...])
+            if times.shape[0] != u.shape[1] and times.shape[0] == u.shape[0] * u.shape[1]:
+                # flat times saved alongside a reshaped 2-D matrix: keep one
+                # trajectory's worth (trajectories share the time axis)
+                times = times[: u.shape[1]]
+        else:
+            times = jnp.arange(u.shape[1], dtype=jnp.float32)
+            synthetic = True
         forcing = None
         if "forcing" in f:
             forcing = ForcingParams(
@@ -359,4 +411,8 @@ def load_snapshots_h5(path: str) -> tuple[Snapshots, Equation, Grid]:
             **params,
         )
         grid = Grid(int(f.attrs["fine_size"]), float(f.attrs["period"]))
-    return Snapshots(u=u, times=times, forcing=forcing), equation, grid
+    return (
+        Snapshots(u=u, times=times, forcing=forcing, synthetic_times=synthetic),
+        equation,
+        grid,
+    )

@@ -330,17 +330,48 @@ class TestTrajectoryData:
 
 
 class TestLegacy2DH5:
-    def test_2d_snapshot_matrix_loads(self, tmp_path):
+    @staticmethod
+    def _write_legacy(path, samples=12, nx=64, **attrs):
         import h5py
-        path = str(tmp_path / "legacy.h5")
         rng = np.random.RandomState(0)
         with h5py.File(path, "w") as f:
-            f.create_dataset("v", data=rng.randn(12, 64).astype(np.float32))
+            f.create_dataset("v", data=rng.randn(samples, nx).astype(np.float32))
             f.attrs["equation"] = "burgers"
             f.attrs["conservative"] = True
             f.attrs["period"] = 6.28
-            f.attrs["fine_size"] = 64
-        snaps, eq, grid = load_snapshots_h5(path)
+            f.attrs["fine_size"] = nx
+            for k, v in attrs.items():
+                f.attrs[k] = v
+
+    def test_2d_snapshot_matrix_loads(self, tmp_path):
+        path = str(tmp_path / "legacy.h5")
+        self._write_legacy(path)
+        with pytest.warns(UserWarning, match="ONE contiguous trajectory"):
+            snaps, eq, grid = load_snapshots_h5(path)
         assert snaps.u.shape == (1, 12, 64)
         assert snaps.times.shape == (12,)
+        assert snaps.synthetic_times
         assert abs(eq.period - 6.28) < 1e-6
+
+    def test_2d_with_declared_trajectories(self, tmp_path):
+        path = str(tmp_path / "legacy.h5")
+        self._write_legacy(path, num_trajectories=3)
+        snaps, _, _ = load_snapshots_h5(path)
+        assert snaps.u.shape == (3, 4, 64)
+        assert snaps.times.shape == (4,)
+        # argument overrides the attr
+        snaps2, _, _ = load_snapshots_h5(path, num_trajectories=2)
+        assert snaps2.u.shape == (2, 6, 64)
+        with pytest.raises(ValueError, match="does not divide"):
+            load_snapshots_h5(path, num_trajectories=5)
+
+    def test_synthetic_times_refuse_unrolled_training(self, tmp_path):
+        path = str(tmp_path / "legacy.h5")
+        self._write_legacy(path, num_trajectories=3)
+        snaps, eq, grid = load_snapshots_h5(path)
+        assert snaps.synthetic_times
+        with pytest.raises(ValueError, match="synthesized times"):
+            build_training_data(eq, grid, snaps, 4, unroll_steps=2)
+        # derivative-only training from the same file is fine
+        data = build_training_data(eq, grid, snaps, 4, unroll_steps=0)
+        assert data.inputs.shape == (12, 16)
