@@ -29,12 +29,20 @@ FACTOR = 8
 INNER_STEPS = 100  # RK4 steps per timed device call
 
 
-def build():
+def build(fused: bool = False):
     eq = equations.from_name("ks", conservative=True)
     coarse = Grid(FINE, eq.period).resample(FACTOR, conservative=True)
     model = StencilModel(eq, coarse, ModelConfig(stencil_size=6))
     params = model.init_params(jax.random.PRNGKey(0))
     dt = eq.stable_time_step(coarse, u_scale=3.0)
+    u0 = eq.initial_conditions(jax.random.PRNGKey(1), coarse, (BATCH,))
+
+    if fused:
+        # whole-batch fused Mosaic kernel: all INNER_STEPS RK4 steps (conv
+        # tower + constraint projection + stencil + flux divergence) stay in
+        # VMEM (ops/pallas_kernels.make_fused_learned_rk4)
+        return model.fused_rk4_fn(params, dt, INNER_STEPS, batch_tile=BATCH), u0
+
     rhs = model.rhs_fn(params)
 
     def many_steps(u):
@@ -46,13 +54,12 @@ def build():
                                  length=INNER_STEPS)
         return u
 
-    u0 = eq.initial_conditions(jax.random.PRNGKey(1), coarse, (BATCH,))
     return many_steps, u0
 
 
-def steps_per_sec(device) -> float:
+def steps_per_sec(device, fused: bool = False) -> float:
     with jax.default_device(device):
-        many_steps, u0 = build()
+        many_steps, u0 = build(fused=fused)
         fn = jax.jit(many_steps)
         u0 = jax.device_put(u0, device)
         u = fn(u0)
@@ -74,9 +81,19 @@ def steps_per_sec(device) -> float:
 
 def main():
     tpu = jax.devices()[0]
-    tpu_sps = steps_per_sec(tpu)
-    print(f"TPU ({tpu.device_kind}): {tpu_sps:,.0f} RK4 steps/s "
+    tpu_xla = steps_per_sec(tpu)
+    print(f"TPU ({tpu.device_kind}) XLA scan: {tpu_xla:,.0f} RK4 steps/s "
           f"(batch={BATCH}, nx={FINE//FACTOR})", file=sys.stderr)
+    tpu_sps = tpu_xla
+    if tpu.platform == "tpu":
+        try:
+            tpu_fused = steps_per_sec(tpu, fused=True)
+            print(f"TPU fused learned-RK4 kernel: {tpu_fused:,.0f} RK4 steps/s "
+                  f"({tpu_fused / tpu_xla:.2f}x XLA)", file=sys.stderr)
+            tpu_sps = max(tpu_sps, tpu_fused)
+        except Exception as e:
+            print(f"fused kernel unavailable ({e}); using XLA path",
+                  file=sys.stderr)
     try:
         cpu = jax.devices("cpu")[0]
         cpu_sps = steps_per_sec(cpu)

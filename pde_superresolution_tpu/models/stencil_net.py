@@ -216,3 +216,57 @@ class StencilModel:
             return u_t
 
         return rhs
+
+    def fused_rk4_fn(
+        self,
+        params: dict,
+        dt: float,
+        num_steps: int,
+        batch_tile: int = 128,
+        interpret: bool = False,
+    ):
+        """Whole ``num_steps``-step RK4 advance of the learned model in ONE
+        Mosaic kernel (ops/pallas_kernels.make_fused_learned_rk4): conv
+        tower, constraint projection, stencil apply, flux divergence and all
+        four RK4 stages stay in VMEM across every step.
+
+        Unforced autonomous equations only (KS/KdV). Returns
+        ``advance(u [batch, nx]) -> u``; batch must be a multiple of
+        ``batch_tile`` and nx a multiple of 128. Agreement with the XLA
+        ``rhs_fn`` + ``integrate.rk4_step`` path is to float tolerance
+        (same math, different op grouping; the constraint projection runs
+        HIGHEST precision in both).
+        """
+        from pde_superresolution_tpu.ops import pallas_kernels as pk
+
+        if self.equation.forced:
+            raise ValueError("fused learned RK4 requires an unforced equation")
+        orders = sorted(self.constraint_layers)
+        taps_map = {}
+        c0_map = {}
+        nullspace_map = {}
+        scale_map = {}
+        for d in orders:
+            layer = self.constraint_layers[d]
+            taps_map[d] = pk._int_taps(layer.offsets, self._shift)
+            c0_map[d] = np.asarray(layer.c0)
+            nullspace_map[d] = getattr(layer, "nullspace", None)
+            scale_map[d] = float(layer.scale)
+        fused = pk.make_fused_learned_rk4(
+            self.equation,
+            self.grid,
+            self.config.kernel_size,
+            taps_map,
+            scale_map,
+            c0_map,
+            nullspace_map,
+            dt,
+            num_steps,
+            batch_tile=batch_tile,
+            interpret=interpret,
+        )
+
+        def advance(u: jnp.ndarray) -> jnp.ndarray:
+            return fused(u, params)
+
+        return advance

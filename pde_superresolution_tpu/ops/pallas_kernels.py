@@ -52,12 +52,20 @@ SUBLANE = 8
 
 
 def _roll(u, shift: int, axis: int = 1):
-    """jnp.roll semantics on TPU tiles (pltpu.roll wants shift >= 0)."""
+    """jnp.roll semantics on TPU tiles (pltpu.roll wants shift >= 0).
+
+    bf16 goes through jnp.roll: pltpu.roll on a bfloat16 operand crashes
+    this environment's Mosaic compiler (tpu_compile_helper exit 1, isolated
+    to exactly this op+dtype combination on 2026-08 axon libtpu); jnp.roll
+    lowers correctly for every dtype.
+    """
     n = u.shape[axis]
     s = shift % n
     if s == 0:
         return u
-    return pltpu.roll(u, s, axis=axis)
+    if u.dtype == jnp.float32:
+        return pltpu.roll(u, s, axis=axis)
+    return jnp.roll(u, s, axis=axis)
 
 
 def _int_taps(offsets: Sequence[float], shift: float) -> list[int]:
@@ -247,5 +255,258 @@ def make_fused_rk4(
             ),
             interpret=interpret,
         )(u)
+
+    return advance
+
+
+def make_fused_learned_rk4(
+    equation: Equation,
+    grid: Grid,
+    kernel_size: int,
+    taps_map: Mapping[int, Sequence[int]],
+    scale_map: Mapping[int, float],
+    c0_map: Mapping[int, np.ndarray],
+    nullspace_map: Mapping[int, Optional[np.ndarray]],
+    dt: float,
+    num_steps: int,
+    batch_tile: int = 128,
+    interpret: bool = False,
+):
+    """Whole multi-step RK4 integration of the LEARNED model in one kernel.
+
+    SURVEY.md §7 stage 6: "beating plain XLA fusion requires fusing across
+    RK4 stages, not just within one RHS". This kernel keeps the state, every
+    conv-tower activation, the constrained coefficients, and all four RK4
+    stage vectors in VMEM for all ``num_steps`` steps — the only HBM traffic
+    is the initial state, the (tiny) weights, and the final state.
+
+    Layout — X-MAJOR lane flattening. Each (batch_tile, nx) block is one
+    lane row ``n = x * batch_tile + b``, so
+
+      * a periodic spatial shift by ``t`` cells is one whole-row lane roll
+        by ``t * batch_tile`` (the wrap at the row end wraps x periodically
+        with b unchanged — exactly the periodic boundary), and
+      * activations are plain 2-D ``[channels, nx*batch_tile]`` tiles and
+        every matmul is a clean 2-D MXU ``dot_general``. (The natural
+        ``[C, batch, nx]`` 3-D layout lowers, but Mosaic's compile time
+        grows ~1.5x PER chained 3-D dot — 84 dots in an RK4 body never
+        finishes. 2-D dots compile linearly. Measured on v5e.)
+
+    MXU packing: every conv layer is ONE matmul — the rolled input copies
+    are stacked along the contraction axis (``[K*Cin, n]``, K*Cin=160 for
+    the paper tower vs 32 unpacked, so the systolic array's contraction
+    dimension is actually filled); the per-order heads are merged into one
+    ``[sum(free), C]`` matmul and the constraint projections into one
+    block-diagonal ``[sum(S), sum(free)]`` matmul (scale folded in).
+
+    The projection runs at Precision.HIGHEST like the XLA twin
+    (stencils.PolynomialAccuracy); the tower runs at the TPU default (bf16
+    inputs, f32 accumulate) like the XLA twin's convs, so agreement with
+    the XLA path is to float tolerance, not bitwise.
+
+    Unforced equations only (KS/KdV — the bench flagship); the forced
+    variant is blocked on the axon Mosaic forcing-input hang (DECISIONS #15).
+
+    Returns ``advance(u [batch, nx], params) -> u`` taking the model's raw
+    params pytree (repacking transposes are traced into the same jit).
+    """
+    if equation.forced:
+        raise ValueError("fused learned RK4 supports unforced equations only")
+    if kernel_size % 2 != 1:
+        raise ValueError("fused learned RK4 assumes odd conv kernels")
+    orders = sorted(taps_map)
+    conservative = equation.conservative
+    dx = grid.dx
+    kh = (kernel_size - 1) // 2
+    tb = batch_tile
+
+    # one contiguous shifted-copy stack serves the first conv layer AND the
+    # stencil applications: rows = rolls of u by taps [tmin, tmax]
+    all_taps = sorted(
+        set(range(-kh, kh + 1)).union(*[set(taps_map[d]) for d in orders])
+    )
+    tmin, tmax = all_taps[0], all_taps[-1]
+    if all_taps != list(range(tmin, tmax + 1)):
+        raise ValueError(f"tap union {all_taps} is not contiguous")
+    n_taps = tmax - tmin + 1
+    conv_row0 = -kh - tmin  # row of conv offset -kh in the u-stack
+    stencil_rows = {d: taps_map[d][0] - tmin for d in orders}
+    if any(
+        list(taps_map[d]) != list(range(taps_map[d][0], taps_map[d][0] + len(taps_map[d])))
+        for d in orders
+    ):
+        raise ValueError("per-order taps must be contiguous")
+
+    # static affine projection: c_all = c0_all + PN @ z_all, with the
+    # per-order scale folded into the block-diagonal PN
+    sizes = [len(taps_map[d]) for d in orders]
+    frees = []
+    blocks = []
+    for d in orders:
+        ns = nullspace_map[d]
+        if ns is None:  # FixedCoefficients: c = c0 + scale * z
+            ns = np.eye(len(taps_map[d]))
+        blocks.append(float(scale_map[d]) * np.asarray(ns, np.float64).T)
+        frees.append(blocks[-1].shape[1])
+    s_tot, f_tot = sum(sizes), sum(frees)
+    pn = np.zeros((s_tot, f_tot))
+    c_row = {}
+    z_row = {}
+    r = c = 0
+    for d, blk in zip(orders, blocks):
+        pn[r : r + blk.shape[0], c : c + blk.shape[1]] = blk
+        c_row[d], z_row[d] = r, c
+        r += blk.shape[0]
+        c += blk.shape[1]
+    pn = jnp.asarray(pn, jnp.float32)
+    c0_all = jnp.asarray(
+        np.concatenate([np.asarray(c0_map[d], np.float64) for d in orders])[:, None],
+        jnp.float32,
+    )
+
+    def kernel(*refs):
+        # refs: u, (w0 [Co, K]) + (w [K, Co, Cin] per deeper layer) with
+        #       biases [Co, 1] interleaved, hw [fT, C], hb [fT, 1],
+        #       c0 [sT, 1], pn [sT, fT], out
+        u_ref = refs[0]
+        n_layers = (len(refs) - 6) // 2
+        layer_refs = [(refs[1 + 2 * i], refs[2 + 2 * i]) for i in range(n_layers)]
+        hw_ref, hb_ref, c0_ref, pn_ref = refs[-5:-1]
+        out_ref = refs[-1]
+        kk = 2 * kh + 1
+
+        def rhs(u):  # u: [1, n] f32, x-major
+            # shifted-copy stack [n_taps, n]: rows tmin..tmax. Kept f32 for
+            # the stencil application; matmul operands are cast to bf16 —
+            # the SAME rounding the XLA twin's default-precision convs
+            # apply (one bf16 pass, f32 accumulate).
+            ustack = jnp.concatenate(
+                [_roll(u, -t * tb, axis=1) for t in range(tmin, tmax + 1)], axis=0
+            )
+            h = None
+            for li, (w_ref, b_ref) in enumerate(layer_refs):
+                if li == 0:
+                    # first layer: the u-stack rows ARE the K input rows
+                    acc = jax.lax.dot_general(
+                        w_ref[...],
+                        ustack[conv_row0 : conv_row0 + kk].astype(jnp.bfloat16),
+                        (((1,), (0,)), ((), ())),
+                        preferred_element_type=jnp.float32,
+                    )
+                else:
+                    # deeper layers: ONE packed matmul against the
+                    # concat-of-rolled-copies stack [K*Cin, n] (contraction
+                    # 160 actually fills the MXU). Measured alternatives on
+                    # v5e, all slower: per-tap dots on rolled copies (-15%),
+                    # halo-scratch with slice-operand dots (-30%, Mosaic
+                    # materializes the slice loads), 3-D [C, tb, nx] dots
+                    # (compile time explodes ~1.5x per chained dot).
+                    hb16 = h.astype(jnp.bfloat16)
+                    stack = jnp.concatenate(
+                        [_roll(hb16, -(j - kh) * tb, axis=1) for j in range(kk)],
+                        axis=0,
+                    )
+                    acc = jax.lax.dot_general(
+                        w_ref[...], stack, (((1,), (0,)), ((), ())),
+                        preferred_element_type=jnp.float32,
+                    )
+                h = jnp.maximum(acc + b_ref[...], 0.0)
+            z = (
+                jax.lax.dot_general(
+                    hw_ref[...], h.astype(jnp.bfloat16), (((1,), (0,)), ((), ())),
+                    preferred_element_type=jnp.float32,
+                )
+                + hb_ref[...]
+            )  # [f_tot, n]
+            c_all = c0_ref[...] + jax.lax.dot_general(
+                pn_ref[...], z, (((1,), (0,)), ((), ())),
+                precision=jax.lax.Precision.HIGHEST,
+                preferred_element_type=jnp.float32,
+            )  # [s_tot, n]
+            vals = {}
+            for d, size in zip(orders, sizes):
+                r0, u0 = c_row[d], stencil_rows[d]
+                vals[d] = jnp.sum(
+                    c_all[r0 : r0 + size] * ustack[u0 : u0 + size],
+                    axis=0,
+                    keepdims=True,
+                )
+            if conservative:
+                flux = equation.flux(vals)
+                return -(flux - _roll(flux, tb, axis=1)) / dx
+            return equation.equation_of_motion(u, vals)
+
+        def step(_, u):
+            k1 = rhs(u)
+            k2 = rhs(u + (0.5 * dt) * k1)
+            k3 = rhs(u + (0.5 * dt) * k2)
+            k4 = rhs(u + dt * k3)
+            return u + (dt / 6.0) * (k1 + 2.0 * k2 + 2.0 * k3 + k4)
+
+        out_ref[...] = jax.lax.fori_loop(0, num_steps, step, u_ref[...])
+
+    def pack_params(params: dict) -> list[jnp.ndarray]:
+        weights: list[jnp.ndarray] = []
+        for w, b in params["tower"]:
+            k, cin, co = w.shape
+            # [K, Cin, Co] -> [Co, K*Cin], row-major over (k, cin) to match
+            # the kernel's concat-over-taps stacking of [Cin, n] blocks;
+            # bf16 = the rounding XLA's default-precision conv applies
+            weights.append(
+                jnp.transpose(w, (2, 0, 1)).reshape(co, k * cin).astype(jnp.bfloat16)
+            )
+            weights.append(b[:, None])
+        hws, hbs = [], []
+        for d in orders:
+            hw, hb = params["heads"][str(d)]
+            hws.append(jnp.transpose(hw[0]))  # [free_d, C]
+            hbs.append(hb)
+        weights.append(jnp.concatenate(hws, axis=0).astype(jnp.bfloat16))
+        weights.append(jnp.concatenate(hbs)[:, None])
+        weights.append(c0_all)
+        weights.append(pn)
+        return weights
+
+    def advance(u: jnp.ndarray, params: dict) -> jnp.ndarray:
+        batch, nx = u.shape
+        if batch % tb or not kernel_supported(tb, nx):
+            raise ValueError(
+                f"shapes ({batch}, {nx}) not tileable: need batch%{tb}==0, "
+                f"nx%{LANE}==0"
+            )
+        if params["tower"][0][0].shape[1] != 1:
+            raise ValueError("fused learned RK4 assumes a 1-channel input")
+        weights = pack_params(params)
+        n_tiles = batch // tb
+        n = nx * tb
+        # x-major flatten: [B, nx] -> [tiles, 1, nx*tb], lane index x*tb + b.
+        # (The singleton axis keeps the block's trailing dims equal to the
+        # array's — a (1, n) block on a [tiles, n] array is rejected when
+        # tiles > 1.)
+        v = u.reshape(n_tiles, tb, nx).transpose(0, 2, 1).reshape(n_tiles, 1, n)
+        in_specs = [
+            pl.BlockSpec((1, 1, n), lambda i: (i, 0, 0), memory_space=pltpu.VMEM)
+        ]
+        for wgt in weights:
+            in_specs.append(
+                pl.BlockSpec(
+                    wgt.shape,
+                    lambda i, _r=len(wgt.shape): (0,) * _r,
+                    memory_space=pltpu.VMEM,
+                )
+            )
+        out = pl.pallas_call(
+            lambda *refs: kernel(refs[0].at[0], *refs[1:-1], refs[-1].at[0]),
+            out_shape=jax.ShapeDtypeStruct((n_tiles, 1, n), u.dtype),
+            grid=(n_tiles,),
+            in_specs=in_specs,
+            out_specs=pl.BlockSpec(
+                (1, 1, n), lambda i: (i, 0, 0), memory_space=pltpu.VMEM
+            ),
+            interpret=interpret,
+        )(v, *weights)
+        return (
+            out.reshape(n_tiles, nx, tb).transpose(0, 2, 1).reshape(batch, nx)
+        )
 
     return advance

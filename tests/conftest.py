@@ -7,16 +7,23 @@ Note: in this environment the ``axon`` TPU plugin overrides the
 ``JAX_PLATFORMS`` environment variable, so we must use
 ``jax.config.update("jax_platforms", ...)`` (which wins) instead. XLA_FLAGS
 must still be set before the CPU backend is first initialized.
+
+Set ``PDE_TPU_TESTS=1`` to keep the real TPU backend instead — this skips
+the virtual-mesh tests and UN-skips the on-hardware equivalence tests
+(tests/test_pallas_kernels.py::TestOnTPU), for the verify skill:
+
+    PDE_TPU_TESTS=1 python -m pytest tests/test_pallas_kernels.py -q
 """
 
 import os
 
-flags = os.environ.get("XLA_FLAGS", "")
-if "xla_force_host_platform_device_count" not in flags:
-    os.environ["XLA_FLAGS"] = (
-        flags + " --xla_force_host_platform_device_count=8"
-    ).strip()
+if not os.environ.get("PDE_TPU_TESTS"):
+    flags = os.environ.get("XLA_FLAGS", "")
+    if "xla_force_host_platform_device_count" not in flags:
+        os.environ["XLA_FLAGS"] = (
+            flags + " --xla_force_host_platform_device_count=8"
+        ).strip()
 
-import jax  # noqa: E402
+    import jax
 
-jax.config.update("jax_platforms", "cpu")
+    jax.config.update("jax_platforms", "cpu")

@@ -91,3 +91,112 @@ class TestFusedRK4:
         eq = equations.from_name("burgers")
         with pytest.raises(ValueError):
             pk.make_fused_rk4(eq, Grid(NX, eq.period), 0.01, 5, interpret=True)
+
+
+def _learned_setup(name, cons, stencil_size, batch=BATCH):
+    eq = equations.from_name(name, conservative=cons)
+    grid = Grid(8 * NX, eq.period).resample(8, conservative=cons)
+    model = StencilModel(
+        eq, grid, ModelConfig(stencil_size=stencil_size)
+    )
+    params = jax.tree.map(
+        lambda leaf: leaf + 0.05 * jax.random.normal(jax.random.PRNGKey(1), leaf.shape),
+        model.init_params(jax.random.PRNGKey(0)),
+    )
+    dt = eq.stable_time_step(grid, u_scale=3.0)
+    u0 = eq.initial_conditions(jax.random.PRNGKey(2), grid, (batch,))
+    return eq, grid, model, params, dt, u0
+
+
+def _xla_steps(model, params, u0, dt, steps):
+    rhs = model.rhs_fn(params)
+    u = u0
+    for _ in range(steps):
+        u = integrate.rk4_step(rhs, u, 0.0, dt)
+    return np.asarray(u)
+
+
+class TestFusedLearnedRK4:
+    """The whole-RK4-step learned-model kernel (SURVEY §7 stage 6).
+
+    The kernel rounds matmul inputs to bf16 exactly like the XLA twin's
+    default-precision TPU convs; against a CPU float32 twin the agreement
+    is therefore bf16-level (~1e-3 worst case), while on TPU both paths
+    round identically and agree to ~1e-6 (see the tpu-marked test below,
+    and RESULTS.md for the measured on-chip numbers).
+    """
+
+    @pytest.mark.parametrize("name,cons,size", [
+        ("ks", True, 6), ("ks", False, 7), ("kdv", True, 6),
+    ])
+    def test_matches_xla_rollout(self, name, cons, size):
+        eq, grid, model, params, dt, u0 = _learned_setup(name, cons, size)
+        want = _xla_steps(model, params, u0, dt, 3)
+        adv = model.fused_rk4_fn(params, dt, 3, batch_tile=8, interpret=True)
+        got = np.asarray(adv(u0))
+        err = np.abs(got - want).max() / np.abs(want).max()
+        assert err < 2e-3, err
+
+    def test_forced_equation_rejected(self):
+        eq = equations.from_name("burgers", conservative=True)
+        grid = Grid(NX, eq.period)
+        model = StencilModel(eq, grid, ModelConfig(stencil_size=6))
+        params = model.init_params(jax.random.PRNGKey(0))
+        with pytest.raises(ValueError, match="unforced"):
+            model.fused_rk4_fn(params, 0.01, 5, interpret=True)
+
+    def test_bad_tile_raises(self):
+        eq, grid, model, params, dt, u0 = _learned_setup("ks", True, 6)
+        adv = model.fused_rk4_fn(params, dt, 1, batch_tile=7, interpret=True)
+        with pytest.raises(ValueError, match="tileable"):
+            adv(u0)
+
+
+@pytest.mark.skipif(
+    jax.devices()[0].platform != "tpu",
+    reason="on-TPU equivalence: run on real hardware via "
+    "PDE_TPU_TESTS=1 python -m pytest tests/test_pallas_kernels.py -q "
+    "(the verify skill's recipe)",
+)
+class TestOnTPU:
+    """Hardware equivalence for every fused kernel — makes the 'matches the
+    XLA path on chip' claim a reproducible check instead of RESULTS.md
+    prose. CI forces a CPU backend (conftest), so these only run when the
+    suite is invoked with the real TPU visible (verify skill)."""
+
+    def test_fused_rhs_matches_xla(self):
+        eq = equations.from_name("ks", conservative=True)
+        grid = Grid(8 * NX, eq.period).resample(8, conservative=True)
+        model = StencilModel(eq, grid, ModelConfig(stencil_size=6))
+        params = jax.tree.map(
+            lambda leaf: leaf + 0.05 * jax.random.normal(jax.random.PRNGKey(1), leaf.shape),
+            model.init_params(jax.random.PRNGKey(0)),
+        )
+        u = eq.initial_conditions(jax.random.PRNGKey(2), grid, (BATCH,))
+        want = np.asarray(jax.jit(model.rhs_fn(params, use_pallas=False))(u, 0.0))
+        got = np.asarray(jax.jit(model.rhs_fn(params, use_pallas=True))(u, 0.0))
+        # the KERNEL is bit-exact for identical coefficient inputs; the two
+        # jit programs fuse the (outside-kernel) coefficient computation
+        # differently, leaving ~1e-6 rounding drift on a few points
+        np.testing.assert_allclose(got, want, rtol=1e-5, atol=1e-6)
+
+    def test_fused_fixed_rk4_bit_exact(self):
+        eq = equations.from_name("ks", conservative=True)
+        grid = Grid(NX, eq.period)
+        u0 = 0.3 * eq.initial_conditions(jax.random.PRNGKey(0), grid, (BATCH,))
+        dt = eq.stable_time_step(grid)
+        advance = jax.jit(pk.make_fused_rk4(eq, grid, dt, 10))
+        got = np.asarray(advance(u0))
+        rhs = integrate.PolynomialDifferentiator(eq, grid).rhs_fn()
+        _, traj = integrate.integrate(rhs, u0, dt, 10)
+        np.testing.assert_array_equal(got, np.asarray(traj[-1]))
+
+    def test_fused_learned_rk4_matches_xla(self):
+        eq, grid, model, params, dt, u0 = _learned_setup("ks", True, 6, batch=16)
+        want = _xla_steps(model, params, u0, dt, 5)
+        adv = jax.jit(model.fused_rk4_fn(params, dt, 5, batch_tile=8))
+        got = np.asarray(adv(u0))
+        err = np.abs(got - want).max() / np.abs(want).max()
+        # both paths round matmul inputs to bf16 on TPU; small op-order
+        # differences remain
+        assert err < 1e-4, err
