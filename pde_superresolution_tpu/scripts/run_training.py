@@ -29,6 +29,9 @@ flags.DEFINE_string("checkpoint_dir", None, "checkpoint directory",
                     required=True)
 flags.DEFINE_string("metrics_path", None,
                     "JSONL metrics path (default: <checkpoint_dir>/metrics.jsonl)")
+flags.DEFINE_string("tensorboard_dir", None,
+                    "optional TensorBoard event-file dir (scalars mirrored "
+                    "from the JSONL stream)")
 flags.DEFINE_string("hparams", "", "comma-separated key=value overrides "
                     "(tuples use ';': learning_rates=1e-3;1e-4)")
 flags.DEFINE_integer("data_parallel", 0,
@@ -109,6 +112,7 @@ def main(argv):
         checkpoint_dir=FLAGS.checkpoint_dir,
         metrics_path=metrics_path,
         mesh=mesh,
+        tensorboard_dir=FLAGS.tensorboard_dir,
     )
     print({k: round(v, 4) for k, v in metrics.items() if k.startswith("eval")})
 

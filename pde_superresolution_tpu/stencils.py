@@ -330,6 +330,15 @@ class FixedCoefficients:
         return c0 + self.scale * z
 
 
+# ≈ the reference's bias-only coefficient layer (polynomials.py
+# §PolynomialBias, unverified — mount empty): coefficients = classic-stencil
+# bias + the raw (unconstrained) network output, no null-space projection.
+# Selected via ModelConfig(polynomial_accuracy_order=0). If the mount
+# returns and the real PolynomialBias differs (e.g. projects onto a
+# LOWER-order constraint set instead of none), adjust here.
+PolynomialBias = FixedCoefficients
+
+
 def apply_stencil(
     u: jnp.ndarray,
     coeffs: jnp.ndarray,

@@ -136,6 +136,7 @@ def train(
     checkpoint_dir: Optional[str] = None,
     metrics_path: Optional[str] = None,
     mesh: Optional[jax.sharding.Mesh] = None,
+    tensorboard_dir: Optional[str] = None,
 ) -> tuple[StencilModel, dict, dict]:
     """Train a learned discretization end to end.
 
@@ -163,7 +164,7 @@ def train(
     if isinstance(dataset, data_lib.TrajectoryData):
         return _train_on_trajectories(
             config, equation, coarse, model, dataset,
-            checkpoint_dir, metrics_path, mesh,
+            checkpoint_dir, metrics_path, mesh, tensorboard_dir,
         )
 
     # --- data ----------------------------------------------------------------
@@ -290,7 +291,7 @@ def train(
         )
         state = _restore_state(ckpt_mgr, state, config)
 
-    logger = MetricsLogger(metrics_path)
+    logger = MetricsLogger(metrics_path, tensorboard_dir)
     metrics = {}
     start_step = int(state.step)
     for step in range(start_step, config.num_steps):
@@ -338,6 +339,7 @@ def _train_on_trajectories(
     checkpoint_dir: Optional[str],
     metrics_path: Optional[str],
     mesh: Optional[jax.sharding.Mesh],
+    tensorboard_dir: Optional[str] = None,
 ) -> tuple[StencilModel, dict, dict]:
     """Training over a TrajectoryData ensemble (10k-trajectory scale).
 
@@ -446,7 +448,7 @@ def _train_on_trajectories(
         )
         state = _restore_state(ckpt_mgr, state, config)
 
-    logger = MetricsLogger(metrics_path)
+    logger = MetricsLogger(metrics_path, tensorboard_dir)
     metrics = {}
     train_pool = perm[:n_train]
     for step in range(int(state.step), config.num_steps):

@@ -1,8 +1,11 @@
-"""Structured JSONL metrics logging.
+"""Structured JSONL metrics logging, with optional TensorBoard mirroring.
 
 The TPU-native replacement for the reference's tf.summary event files
 (SURVEY.md §5 "Metrics / logging"): newline-delimited JSON records that any
-tool can tail/parse, written from the host side of the training loop.
+tool can tail/parse, written from the host side of the training loop. Pass
+``tensorboard_dir`` to ALSO mirror every scalar into TensorBoard event
+files (≈ the reference's tf.summary behavior); the dependency is optional
+— a missing tensorboard install degrades to JSONL-only with a warning.
 """
 
 from __future__ import annotations
@@ -10,21 +13,37 @@ from __future__ import annotations
 import json
 import os
 import time
+import warnings
 from typing import IO, Optional
 
 
 class MetricsLogger:
-    """Append-only JSONL metrics writer (no-op when path is None)."""
+    """Append-only JSONL metrics writer (no-op when both paths are None)."""
 
-    def __init__(self, path: Optional[str] = None):
+    def __init__(
+        self,
+        path: Optional[str] = None,
+        tensorboard_dir: Optional[str] = None,
+    ):
         self._file: Optional[IO[str]] = None
+        self._tb = None
         if path:
             os.makedirs(os.path.dirname(os.path.abspath(path)), exist_ok=True)
             self._file = open(path, "a")
+        if tensorboard_dir:
+            try:
+                from torch.utils.tensorboard import SummaryWriter
+
+                self._tb = SummaryWriter(log_dir=tensorboard_dir)
+            except ImportError:
+                warnings.warn(
+                    "tensorboard is not installed; metrics stay JSONL-only",
+                    stacklevel=2,
+                )
         self._start = time.time()
 
     def log(self, step: int, **values) -> None:
-        if self._file is None:
+        if self._file is None and self._tb is None:
             return
         record = {
             "step": step,
@@ -35,10 +54,18 @@ class MetricsLogger:
                 record[key] = float(value)
             except (TypeError, ValueError):
                 record[key] = value
-        self._file.write(json.dumps(record) + "\n")
-        self._file.flush()
+        if self._file is not None:
+            self._file.write(json.dumps(record) + "\n")
+            self._file.flush()
+        if self._tb is not None:
+            for key, value in record.items():
+                if key != "step" and isinstance(value, float):
+                    self._tb.add_scalar(key, value, global_step=step)
 
     def close(self) -> None:
         if self._file is not None:
             self._file.close()
             self._file = None
+        if self._tb is not None:
+            self._tb.close()
+            self._tb = None

@@ -65,6 +65,26 @@ class TestConstraints:
             stencils.constraints([-1, 0, 1], Method.FINITE_DIFFERENCES, 2, 5)
 
 
+class TestPolynomialBias:
+    def test_bias_only_layer(self):
+        """PolynomialBias (≈ reference polynomials.py §PolynomialBias,
+        unverified): classic-stencil bias + raw network output, no
+        constraint projection."""
+        offsets = stencils.stencil_offsets(5)
+        classic = stencils.coefficients(offsets, Method.FINITE_DIFFERENCES, 2)
+        layer = stencils.PolynomialBias(
+            offsets=tuple(offsets.tolist()), derivative_order=2, c0=classic
+        )
+        assert layer.free_dims == 5  # unconstrained: one dof per tap
+        np.testing.assert_allclose(
+            np.asarray(layer(jnp.zeros(5))), classic, atol=1e-7
+        )
+        z = jnp.asarray([1.0, 0.0, -1.0, 0.5, 0.0])
+        np.testing.assert_allclose(
+            np.asarray(layer(z)), classic + np.asarray(z), atol=1e-6
+        )
+
+
 class TestPolynomialAccuracy:
     @pytest.mark.parametrize("method", [Method.FINITE_DIFFERENCES, Method.FINITE_VOLUMES])
     @pytest.mark.parametrize("order,acc", [(1, 2), (2, 2), (3, 2), (1, 4)])

@@ -28,6 +28,27 @@ class TestMetricsLogger:
         logger.log(1, x=1.0)  # must not raise
         logger.close()
 
+    def test_tensorboard_mirror(self, tmp_path):
+        pytest.importorskip("torch.utils.tensorboard")
+        tb_dir = str(tmp_path / "tb")
+        logger = MetricsLogger(
+            str(tmp_path / "m.jsonl"), tensorboard_dir=tb_dir
+        )
+        logger.log(1, loss=0.5)
+        logger.log(5, loss=0.25, note="skipped-non-float")
+        logger.close()
+        from tensorboard.backend.event_processing import event_accumulator
+
+        acc = event_accumulator.EventAccumulator(tb_dir)
+        acc.Reload()
+        assert "loss" in acc.Tags()["scalars"]
+        events = acc.Scalars("loss")
+        assert [e.step for e in events] == [1, 5]
+        assert abs(events[0].value - 0.5) < 1e-7
+        # JSONL is still written alongside
+        lines = [json.loads(l) for l in open(str(tmp_path / "m.jsonl"))]
+        assert lines[1]["note"] == "skipped-non-float"
+
 
 class TestBenchmarkFn:
     def test_times_jitted_fn(self):
