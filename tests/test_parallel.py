@@ -188,7 +188,7 @@ class TestGSPMDAutoSharding:
         from pde_superresolution_tpu.training import losses as loss_lib
 
         eq = equations.from_name("ks", conservative=True)
-        grid = Grid(64, eq.period)
+        grid = Grid(32, eq.period)
         mesh = parallel.make_mesh(data=2, space=4)
         model = StencilModel(
             eq, grid, ModelConfig(num_layers=1, filters=4, stencil_size=6)
@@ -245,7 +245,7 @@ class TestDPxSPTraining:
 
         cfg = TrainingConfig(
             equation="ks", conservative=True, resample_factor=2,
-            fine_size=128, num_trajectories=2, num_times=32, time_delta=0.1,
+            fine_size=64, num_trajectories=2, num_times=17, time_delta=0.1,
             model=ModelConfig(num_layers=1, filters=4, stencil_size=6),
             num_time_steps=1, learning_rates=(1e-3,), learning_stops=(3,),
             batch_size=8, eval_interval=3, frac_training=0.75, ic_scale=0.3,

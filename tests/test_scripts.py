@@ -16,8 +16,8 @@ import pytest
 REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 
 TINY_HPARAMS = (
-    "conservative=true,resample_factor=4,fine_size=128,num_trajectories=2,"
-    "num_times=12,time_delta=0.1,num_layers=1,filters=4,stencil_size=4,"
+    "conservative=true,resample_factor=4,fine_size=64,num_trajectories=2,"
+    "num_times=10,time_delta=0.1,num_layers=1,filters=4,stencil_size=4,"
     "num_time_steps=1,learning_rates=1e-3,learning_stops=5,batch_size=4,"
     "eval_interval=5,checkpoint_interval=5"
 )
@@ -52,8 +52,8 @@ def pipeline_dirs(tmp_path_factory):
     ckpt = str(root / "ckpt")
     run_cli(
         "create_training_data",
-        [f"--output_path={data}", "--equation=burgers", "--fine_size=128",
-         "--num_trajectories=2", "--num_times=12", "--time_delta=0.1"],
+        [f"--output_path={data}", "--equation=burgers", "--fine_size=64",
+         "--num_trajectories=2", "--num_times=10", "--time_delta=0.1"],
     )
     run_cli(
         "run_training",

@@ -24,37 +24,39 @@ from pde_superresolution_tpu.training import losses as loss_lib
 from pde_superresolution_tpu.models.stencil_net import StencilModel
 
 
+# sized for a 1-core CI host: the suite's cost is jit compiles + 1-core
+# rollout steps, so keep grids small and step counts minimal
 TINY = TrainingConfig(
     equation="burgers",
     conservative=True,
     resample_factor=4,
-    fine_size=128,
+    fine_size=64,
     num_trajectories=3,
-    num_times=16,
+    num_times=12,
     time_delta=0.1,
     model=ModelConfig(num_layers=2, filters=8, stencil_size=4),
     num_time_steps=2,
     learning_rates=(1e-3,),
-    learning_stops=(30,),
+    learning_stops=(12,),
     batch_size=8,
-    eval_interval=10,
-    checkpoint_interval=15,
+    eval_interval=6,
+    checkpoint_interval=6,
 )
 
 
 class TestDataPipeline:
     def test_snapshots_shapes_and_labels(self):
         eq = equations.from_name("burgers", conservative=True)
-        fine = Grid(128, eq.period)
+        fine = Grid(64, eq.period)
         snaps = generate_snapshots(
             eq, fine, jax.random.PRNGKey(0), num_trajectories=2, num_times=8,
             time_delta=0.05,
         )
-        assert snaps.u.shape == (2, 8, 128)
+        assert snaps.u.shape == (2, 8, 64)
         assert np.isfinite(np.asarray(snaps.u)).all()
         data = build_training_data(eq, fine, snaps, resample_factor=4, unroll_steps=2)
-        assert data.inputs.shape == (2 * 6, 32)
-        assert data.rollout.shape == (12, 2, 32)
+        assert data.inputs.shape == (2 * 6, 16)
+        assert data.rollout.shape == (12, 2, 16)
         assert set(data.deriv_labels) == {0, 1}
         # order-0 face label should be close to the input field magnitude
         assert np.isfinite(np.asarray(data.deriv_labels[0])).all()
@@ -94,7 +96,7 @@ class TestDataPipeline:
     def test_zero_params_loss_is_one(self):
         """Fresh (baseline-equivalent) model => normalized losses ≈ 1."""
         eq = equations.from_name("burgers", conservative=True)
-        fine = Grid(128, eq.period)
+        fine = Grid(64, eq.period)
         snaps = generate_snapshots(
             eq, fine, jax.random.PRNGKey(0), num_trajectories=2, num_times=8,
             time_delta=0.05,
@@ -114,7 +116,7 @@ class TestDataPipeline:
         """relative_error form: ≈1 at zero params; mixing adds the forms;
         defaults reproduce the absolute-only loss exactly."""
         eq = equations.from_name("burgers", conservative=True)
-        fine = Grid(128, eq.period)
+        fine = Grid(64, eq.period)
         snaps = generate_snapshots(
             eq, fine, jax.random.PRNGKey(0), num_trajectories=2, num_times=8,
             time_delta=0.05,
@@ -163,7 +165,7 @@ class TestDataPipeline:
 
         cfg = dc.replace(
             TINY,
-            learning_stops=(10,),
+            learning_stops=(6,),
             loss_weights=LW(absolute_error=0.5, relative_error=0.5),
         )
         _, _, metrics = loop_lib.train(cfg)
@@ -178,7 +180,7 @@ class TestTrainLoop:
             TINY, checkpoint_dir=ckpt_dir, metrics_path=metrics_path
         )
         # total = sum of three baseline-normalized targets => baseline ≈ 3.0;
-        # 30 smoke steps must stay in that neighborhood (finite, not diverged)
+        # a few smoke steps must stay in that neighborhood (finite, not diverged)
         assert 0.5 < metrics["eval_total"] < 3.5, metrics
         assert os.path.exists(metrics_path)
         restored = loop_lib.restore_params(ckpt_dir)
@@ -187,8 +189,8 @@ class TestTrainLoop:
 
     def test_resume_from_checkpoint(self, tmp_path):
         ckpt_dir = str(tmp_path / "ckpt")
-        # train halfway (step 15 checkpoint), then resume to 30
-        half = dataclasses.replace(TINY, learning_stops=(15,))
+        # train halfway (step 6 checkpoint), then resume to 12
+        half = dataclasses.replace(TINY, learning_stops=(6,))
         loop_lib.train(half, checkpoint_dir=ckpt_dir)
         model, params_resumed, _ = loop_lib.train(TINY, checkpoint_dir=ckpt_dir)
         # a fresh full run with identical seeds must match bitwise:
@@ -203,11 +205,11 @@ class TestTrainLoop:
         """Resuming a checkpoint dir with different hparams must raise, not
         silently continue with mismatched optimizer/schedule semantics."""
         ckpt_dir = str(tmp_path / "ckpt")
-        half = dataclasses.replace(TINY, learning_stops=(15,))
+        half = dataclasses.replace(TINY, learning_stops=(6,))
         loop_lib.train(half, checkpoint_dir=ckpt_dir)
         # changed optimizer semantics: different learning rate
         bad_lr = dataclasses.replace(
-            TINY, learning_rates=(5e-4,), learning_stops=(30,)
+            TINY, learning_rates=(5e-4,), learning_stops=(12,)
         )
         with pytest.raises(ValueError, match="learning_rates"):
             loop_lib.train(bad_lr, checkpoint_dir=ckpt_dir)
@@ -220,7 +222,7 @@ class TestTrainLoop:
         # changed schedule SHAPE (an interior stop boundary) is rejected even
         # though extending the final stop (= num_steps) is allowed
         bad_stops = dataclasses.replace(
-            TINY, learning_rates=(1e-3, 1e-3), learning_stops=(10, 30)
+            TINY, learning_rates=(1e-3, 1e-3), learning_stops=(4, 12)
         )
         with pytest.raises(ValueError, match="learning_stops"):
             loop_lib.train(bad_stops, checkpoint_dir=ckpt_dir)
@@ -274,7 +276,7 @@ class TestTrajectoryData:
         import jax.numpy as jnp
 
         eq = equations.from_name("burgers", conservative=True)
-        fine = Grid(128, eq.period)
+        fine = Grid(64, eq.period)
         key = jax.random.PRNGKey(0)
         snaps = generate_snapshots(eq, fine, jax.random.fold_in(key, 0), 3, 10, 0.1)
         flat = build_training_data(eq, fine, snaps, 4, unroll_steps=2)
@@ -289,8 +291,8 @@ class TestTrajectoryData:
         ti = jnp.asarray([0, 1, 2, 2])
         si = jnp.asarray([0, 3, 7, 0])
         batch = sample_training_batch(tdata, ti, si)
-        assert batch.inputs.shape == (4, 32)
-        assert batch.rollout.shape == (4, 2, 32)
+        assert batch.inputs.shape == (4, 16)
+        assert batch.rollout.shape == (4, 2, 16)
         # rollout windows == series slices
         np.testing.assert_array_equal(
             np.asarray(batch.rollout[1]), np.asarray(tdata.series[1, 4:6])
@@ -310,8 +312,8 @@ class TestTrajectoryData:
         from pde_superresolution_tpu.training import build_trajectory_data
         import dataclasses as dc
 
-        cfg = dc.replace(TINY, num_time_steps=2, learning_stops=(10,),
-                         batch_size=8, eval_interval=5, checkpoint_interval=10)
+        cfg = dc.replace(TINY, num_time_steps=2, learning_stops=(6,),
+                         batch_size=8, eval_interval=3, checkpoint_interval=6)
         eq = equations.from_name(cfg.equation, conservative=cfg.conservative)
         fine = Grid(cfg.fine_size, eq.period)
         tdata = build_trajectory_data(
