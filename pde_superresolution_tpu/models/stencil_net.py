@@ -168,18 +168,19 @@ class StencilModel:
         trained model plugs directly into ``integrate.integrate``.
 
         Args:
-          use_pallas: fuse the stencil-apply + flux-divergence into the
-            Mosaic kernel (ops/pallas_kernels.make_fused_rhs) for tileable
-            [batch, nx] shapes (batch%8==0, nx%128==0), XLA fallback
-            otherwise. Measured: bit-exact and ~1.24x faster than XLA on v5e
-            (KS 8x, batch 1024). Default (None) is currently the pure-XLA
-            path: this environment's axon tunnel intermittently wedges on
-            Mosaic kernel launches (see DECISIONS.md #15), and a hung
-            unattended benchmark is worse than 24% throughput. Pass True to
-            opt in on healthy TPU hardware.
+          use_pallas: fuse the stencil-apply + flux-divergence (and forcing
+            add) into the Mosaic kernel (ops/pallas_kernels.make_fused_rhs)
+            for tileable [batch, nx] shapes (batch%8==0, nx%128==0), XLA
+            fallback otherwise. Measured ~1.24x faster than XLA on v5e
+            (KS 8x, batch 1024), equal to float tolerance. Default (None)
+            resolves to True on a TPU backend and False elsewhere.
+            Round 1's deterministic axon hang on the forcing-input variant
+            no longer reproduces (scripts_dev/repro_forcing_hang.py, all
+            rungs PASS on 2026-08-16; stress-tested 30 launches + scan) —
+            DECISIONS.md #15 has the history.
         """
         if use_pallas is None:
-            use_pallas = False
+            use_pallas = jax.default_backend() == "tpu"
         if not use_pallas:
             def rhs(u, t):
                 return self.time_derivative(params, u, t, forcing)
@@ -192,14 +193,9 @@ class StencilModel:
         offsets_map = {
             d: layer.offsets for d, layer in self.constraint_layers.items()
         }
-        # NOTE: the kernel is always built unforced and the forcing term is
-        # added outside (XLA fuses the elementwise add). Passing the forcing
-        # field as an extra kernel input hangs at runtime on this
-        # environment's axon Mosaic backend (deterministically — the
-        # interpret-mode path is fine), so the in-kernel `forced` variant is
-        # not used on hardware.
+        forced = forcing is not None
         fused = pk.make_fused_rhs(
-            self.equation, self.grid, offsets_map, self._shift, forced=False
+            self.equation, self.grid, offsets_map, self._shift, forced=forced
         )
         x = jnp.asarray(self.grid.x, dtype=jnp.float32)
 
@@ -207,13 +203,11 @@ class StencilModel:
             if u.ndim != 2 or not pk.kernel_supported(*u.shape):
                 return self.time_derivative(params, u, t, forcing)
             coeffs = self.coefficients(params, u)
-            u_t = fused(u, coeffs)
-            if forcing is not None:
+            if forced:
                 width = self.grid.dx if self.equation.conservative else None
-                u_t = u_t + forcing_term(
-                    forcing, x, t, self.equation.period, width
-                )
-            return u_t
+                f = forcing_term(forcing, x, t, self.equation.period, width)
+                return fused(u, coeffs, jnp.broadcast_to(f, u.shape))
+            return fused(u, coeffs)
 
         return rhs
 

@@ -200,3 +200,24 @@ class TestOnTPU:
         # both paths round matmul inputs to bf16 on TPU; small op-order
         # differences remain
         assert err < 1e-4, err
+
+    def test_forced_fused_rhs_matches_xla(self):
+        """The in-kernel forcing path (round 1's deterministic axon hang —
+        no longer reproducing, DECISIONS #15) against the XLA twin."""
+        eq = equations.from_name("burgers", conservative=True)
+        grid = Grid(8 * NX, eq.period).resample(8, conservative=True)
+        model = StencilModel(eq, grid, ModelConfig(stencil_size=6))
+        params = jax.tree.map(
+            lambda leaf: leaf + 0.05 * jax.random.normal(jax.random.PRNGKey(1), leaf.shape),
+            model.init_params(jax.random.PRNGKey(0)),
+        )
+        u = eq.initial_conditions(jax.random.PRNGKey(2), grid, (BATCH,))
+        forcing = eq.sample_forcing(jax.random.PRNGKey(3), (BATCH,))
+        t = jnp.asarray(0.3)
+        want = np.asarray(
+            jax.jit(model.rhs_fn(params, forcing, use_pallas=False))(u, t)
+        )
+        got = np.asarray(
+            jax.jit(model.rhs_fn(params, forcing, use_pallas=True))(u, t)
+        )
+        np.testing.assert_allclose(got, want, rtol=1e-5, atol=1e-6)
