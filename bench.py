@@ -29,7 +29,7 @@ FACTOR = 8
 INNER_STEPS = 100  # RK4 steps per timed device call
 
 
-def build(fused: bool = False):
+def build(fused: bool = False, use_pallas: bool | None = None):
     eq = equations.from_name("ks", conservative=True)
     coarse = Grid(FINE, eq.period).resample(FACTOR, conservative=True)
     model = StencilModel(eq, coarse, ModelConfig(stencil_size=6))
@@ -43,7 +43,7 @@ def build(fused: bool = False):
         # VMEM (ops/pallas_kernels.make_fused_learned_rk4)
         return model.fused_rk4_fn(params, dt, INNER_STEPS, batch_tile=BATCH), u0
 
-    rhs = model.rhs_fn(params)
+    rhs = model.rhs_fn(params, use_pallas=use_pallas)
 
     def many_steps(u):
         def body(carry, _):
@@ -58,8 +58,11 @@ def build(fused: bool = False):
 
 
 def steps_per_sec(device, fused: bool = False) -> float:
+    # rhs_fn(use_pallas=None) keys off jax.default_backend(), which stays
+    # "tpu" even under jax.default_device(cpu) — force pure XLA off-TPU.
+    use_pallas = None if device.platform == "tpu" else False
     with jax.default_device(device):
-        many_steps, u0 = build(fused=fused)
+        many_steps, u0 = build(fused=fused, use_pallas=use_pallas)
         fn = jax.jit(many_steps)
         u0 = jax.device_put(u0, device)
         u = fn(u0)
