@@ -218,13 +218,18 @@ class StencilModel:
         num_steps: int,
         batch_tile: int = 128,
         interpret: bool = False,
+        forcing: Optional[ForcingParams] = None,
+        t0: float = 0.0,
     ):
         """Whole ``num_steps``-step RK4 advance of the learned model in ONE
         Mosaic kernel (ops/pallas_kernels.make_fused_learned_rk4): conv
         tower, constraint projection, stencil apply, flux divergence and all
         four RK4 stages stay in VMEM across every step.
 
-        Unforced autonomous equations only (KS/KdV). Returns
+        Forced equations (Burgers) pass their per-trajectory ``forcing``
+        params and the integration start time ``t0``; the sinusoid phases
+        are advanced in-kernel by planar rotation (no per-stage
+        transcendentals — see make_fused_learned_rk4). Returns
         ``advance(u [batch, nx]) -> u``; batch must be a multiple of
         ``batch_tile`` and nx a multiple of 128. Agreement with the XLA
         ``rhs_fn`` + ``integrate.rk4_step`` path is to float tolerance
@@ -233,8 +238,10 @@ class StencilModel:
         """
         from pde_superresolution_tpu.ops import pallas_kernels as pk
 
-        if self.equation.forced:
-            raise ValueError("fused learned RK4 requires an unforced equation")
+        if self.equation.forced and forcing is None:
+            raise ValueError(
+                f"{self.equation.name} is forced: pass forcing params"
+            )
         orders = sorted(self.constraint_layers)
         taps_map = {}
         c0_map = {}
@@ -261,6 +268,6 @@ class StencilModel:
         )
 
         def advance(u: jnp.ndarray) -> jnp.ndarray:
-            return fused(u, params)
+            return fused(u, params, forcing, t0)
 
         return advance

@@ -304,14 +304,23 @@ def make_fused_learned_rk4(
     inputs, f32 accumulate) like the XLA twin's convs, so agreement with
     the XLA path is to float tolerance, not bitwise.
 
-    Unforced equations only (KS/KdV — the bench flagship); the forced
-    variant is blocked on the axon Mosaic forcing-input hang (DECISIONS #15).
+    FORCED equations (Burgers): the sum-of-sinusoids forcing
+    ``f = sum_m A_m sin(omega_m t + kappa_m x + phi_m)`` is evaluated
+    in-kernel with zero per-stage transcendentals — the per-term
+    (sin, cos) phase tiles are carried through the ``fori_loop`` and
+    advanced by dt/2 per RK4 half-stage with a precomputed planar rotation
+    (angle addition: ``sin(th+d) = sin th cos d + cos th sin d``), so each
+    stage's forcing is one FMA reduction over the ~20 terms. The rotation
+    accumulates ~1 ulp of phase error per half-step (2e-5 relative after
+    100 steps) — far below the tower's bf16 rounding. Conservative
+    equations get the exact cell-averaged forcing (the sinc amplitude
+    factor, equations.forcing_term) baked into the amplitude tile.
 
-    Returns ``advance(u [batch, nx], params) -> u`` taking the model's raw
-    params pytree (repacking transposes are traced into the same jit).
+    Returns ``advance(u [batch, nx], params, forcing=None, t0=0.0) -> u``
+    taking the model's raw params pytree (repacking transposes are traced
+    into the same jit); ``forcing`` is an ``equations.ForcingParams`` with
+    leading batch dims, required iff the equation is forced.
     """
-    if equation.forced:
-        raise ValueError("fused learned RK4 supports unforced equations only")
     if kernel_size % 2 != 1:
         raise ValueError("fused learned RK4 assumes odd conv kernels")
     orders = sorted(taps_map)
@@ -364,15 +373,22 @@ def make_fused_learned_rk4(
         jnp.float32,
     )
 
+    forced = equation.forced
+
     def kernel(*refs):
         # refs: u, (w0 [Co, K]) + (w [K, Co, Cin] per deeper layer) with
         #       biases [Co, 1] interleaved, hw [fT, C], hb [fT, 1],
-        #       c0 [sT, 1], pn [sT, fT], out
+        #       c0 [sT, 1], pn [sT, fT],
+        #       [forced: amp, sin0, cos0, rot_c, rot_s — all [terms, n]], out
         u_ref = refs[0]
-        n_layers = (len(refs) - 6) // 2
-        layer_refs = [(refs[1 + 2 * i], refs[2 + 2 * i]) for i in range(n_layers)]
-        hw_ref, hb_ref, c0_ref, pn_ref = refs[-5:-1]
+        body = refs[1:-1]
         out_ref = refs[-1]
+        if forced:
+            amp_ref, s0_ref, c0f_ref, rc_ref, rs_ref = body[-5:]
+            body = body[:-5]
+        n_layers = (len(body) - 4) // 2
+        layer_refs = [(body[2 * i], body[2 * i + 1]) for i in range(n_layers)]
+        hw_ref, hb_ref, c0_ref, pn_ref = body[-4:]
         kk = 2 * kh + 1
 
         def rhs(u):  # u: [1, n] f32, x-major
@@ -436,14 +452,43 @@ def make_fused_learned_rk4(
                 return -(flux - _roll(flux, tb, axis=1)) / dx
             return equation.equation_of_motion(u, vals)
 
-        def step(_, u):
-            k1 = rhs(u)
-            k2 = rhs(u + (0.5 * dt) * k1)
-            k3 = rhs(u + (0.5 * dt) * k2)
-            k4 = rhs(u + dt * k3)
-            return u + (dt / 6.0) * (k1 + 2.0 * k2 + 2.0 * k3 + k4)
+        if not forced:
 
-        out_ref[...] = jax.lax.fori_loop(0, num_steps, step, u_ref[...])
+            def step(_, u):
+                k1 = rhs(u)
+                k2 = rhs(u + (0.5 * dt) * k1)
+                k3 = rhs(u + (0.5 * dt) * k2)
+                k4 = rhs(u + dt * k3)
+                return u + (dt / 6.0) * (k1 + 2.0 * k2 + 2.0 * k3 + k4)
+
+            out_ref[...] = jax.lax.fori_loop(0, num_steps, step, u_ref[...])
+            return
+
+        amp = amp_ref[...]
+        rc, rs = rc_ref[...], rs_ref[...]
+
+        def force(s):  # [terms, n] -> [1, n]
+            return jnp.sum(amp * s, axis=0, keepdims=True)
+
+        def rotate(s, c):  # advance every term's phase by dt/2
+            return s * rc + c * rs, c * rc - s * rs
+
+        def step(_, carry):
+            u, s, c = carry
+            k1 = rhs(u) + force(s)
+            s1, c1 = rotate(s, c)  # t + dt/2
+            f_half = force(s1)
+            k2 = rhs(u + (0.5 * dt) * k1) + f_half
+            k3 = rhs(u + (0.5 * dt) * k2) + f_half
+            s2, c2 = rotate(s1, c1)  # t + dt
+            k4 = rhs(u + dt * k3) + force(s2)
+            u = u + (dt / 6.0) * (k1 + 2.0 * k2 + 2.0 * k3 + k4)
+            return u, s2, c2
+
+        u_out, _, _ = jax.lax.fori_loop(
+            0, num_steps, step, (u_ref[...], s0_ref[...], c0f_ref[...])
+        )
+        out_ref[...] = u_out
 
     def pack_params(params: dict) -> list[jnp.ndarray]:
         weights: list[jnp.ndarray] = []
@@ -467,7 +512,47 @@ def make_fused_learned_rk4(
         weights.append(pn)
         return weights
 
-    def advance(u: jnp.ndarray, params: dict) -> jnp.ndarray:
+    def pack_forcing(forcing, t0, batch: int, nx: int) -> list[jnp.ndarray]:
+        """[terms]-per-trajectory sinusoid params -> x-major [tiles, terms, n]
+        tiles: amplitude (cell-averaged for conservative schemes), the phase
+        state (sin, cos) at t0, and the dt/2 planar rotation (cos, sin)."""
+        n_tiles = batch // tb
+
+        def xmajor(arr):  # [batch, terms, nx] -> [tiles, terms, nx*tb]
+            return (
+                arr.reshape(n_tiles, tb, arr.shape[1], nx)
+                .transpose(0, 2, 3, 1)
+                .reshape(n_tiles, arr.shape[1], nx * tb)
+                .astype(jnp.float32)
+            )
+
+        terms = forcing.amplitude.shape[-1]
+        shape = (batch, terms)
+        amp, omega, k, phi = (
+            jnp.broadcast_to(leaf, shape) for leaf in forcing
+        )
+        kappa = 2 * np.pi * k / equation.period
+        if conservative:
+            # exact cell average of sin over [x - dx/2, x + dx/2]
+            # (equations.forcing_term's sinc factor)
+            amp = amp * jnp.sinc(kappa * dx / 2 / np.pi)
+        x = jnp.asarray(grid.x, jnp.float32)
+        theta0 = (
+            omega[:, :, None] * jnp.asarray(t0, jnp.float32)
+            + kappa[:, :, None] * x
+            + phi[:, :, None]
+        )  # [batch, terms, nx]
+        half = omega * (dt / 2)
+        bcast = lambda a: jnp.broadcast_to(a[:, :, None], theta0.shape)
+        return [
+            xmajor(bcast(amp)),
+            xmajor(jnp.sin(theta0)),
+            xmajor(jnp.cos(theta0)),
+            xmajor(bcast(jnp.cos(half))),
+            xmajor(bcast(jnp.sin(half))),
+        ]
+
+    def advance(u: jnp.ndarray, params: dict, forcing=None, t0=0.0) -> jnp.ndarray:
         batch, nx = u.shape
         if batch % tb or not kernel_supported(tb, nx):
             raise ValueError(
@@ -476,6 +561,8 @@ def make_fused_learned_rk4(
             )
         if params["tower"][0][0].shape[1] != 1:
             raise ValueError("fused learned RK4 assumes a 1-channel input")
+        if forced and forcing is None:
+            raise ValueError(f"{equation.name} is forced: forcing required")
         weights = pack_params(params)
         n_tiles = batch // tb
         n = nx * tb
@@ -495,16 +582,40 @@ def make_fused_learned_rk4(
                     memory_space=pltpu.VMEM,
                 )
             )
+        ftiles = []
+        if forced:
+            ftiles = pack_forcing(forcing, t0, batch, nx)
+            for ft in ftiles:
+                in_specs.append(
+                    pl.BlockSpec(
+                        (1,) + ft.shape[1:],
+                        lambda i: (i, 0, 0),
+                        memory_space=pltpu.VMEM,
+                    )
+                )
+        n_w = len(weights)
+        # the default 16 MiB scoped-VMEM stack is too small once the forced
+        # path's per-term phase tiles (5 x [terms, n] f32) join the packed
+        # conv stacks; size the limit to the live tiles plus scratch margin
+        vmem_bytes = 32 * 1024 * 1024 + sum(
+            4 * int(np.prod(ft.shape[1:])) for ft in ftiles
+        ) * 3  # (s, c) carries + rotation temporaries
         out = pl.pallas_call(
-            lambda *refs: kernel(refs[0].at[0], *refs[1:-1], refs[-1].at[0]),
+            lambda *refs: kernel(
+                refs[0].at[0],
+                *refs[1 : 1 + n_w],
+                *(r.at[0] for r in refs[1 + n_w : -1]),
+                refs[-1].at[0],
+            ),
             out_shape=jax.ShapeDtypeStruct((n_tiles, 1, n), u.dtype),
             grid=(n_tiles,),
             in_specs=in_specs,
             out_specs=pl.BlockSpec(
                 (1, 1, n), lambda i: (i, 0, 0), memory_space=pltpu.VMEM
             ),
+            compiler_params=pltpu.CompilerParams(vmem_limit_bytes=vmem_bytes),
             interpret=interpret,
-        )(v, *weights)
+        )(v, *weights, *ftiles)
         return (
             out.reshape(n_tiles, nx, tb).transpose(0, 2, 1).reshape(batch, nx)
         )

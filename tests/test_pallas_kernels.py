@@ -137,12 +137,29 @@ class TestFusedLearnedRK4:
         err = np.abs(got - want).max() / np.abs(want).max()
         assert err < 2e-3, err
 
-    def test_forced_equation_rejected(self):
+    def test_forced_matches_xla_rollout(self):
+        """Burgers with in-kernel rotated-phase forcing vs the XLA twin."""
+        eq, grid, model, params, dt, u0 = _learned_setup("burgers", True, 6)
+        forcing = eq.sample_forcing(jax.random.PRNGKey(3), (u0.shape[0],))
+        t0 = 0.37
+        rhs = model.rhs_fn(params, forcing, use_pallas=False)
+        u, t = u0, t0
+        for _ in range(3):
+            u = integrate.rk4_step(rhs, u, jnp.asarray(t), dt)
+            t += dt
+        want = np.asarray(u)
+        adv = model.fused_rk4_fn(params, dt, 3, batch_tile=8, interpret=True,
+                                 forcing=forcing, t0=t0)
+        got = np.asarray(adv(u0))
+        err = np.abs(got - want).max() / np.abs(want).max()
+        assert err < 2e-3, err
+
+    def test_forced_equation_requires_forcing(self):
         eq = equations.from_name("burgers", conservative=True)
         grid = Grid(NX, eq.period)
         model = StencilModel(eq, grid, ModelConfig(stencil_size=6))
         params = model.init_params(jax.random.PRNGKey(0))
-        with pytest.raises(ValueError, match="unforced"):
+        with pytest.raises(ValueError, match="forc"):
             model.fused_rk4_fn(params, 0.01, 5, interpret=True)
 
     def test_bad_tile_raises(self):
@@ -199,6 +216,25 @@ class TestOnTPU:
         err = np.abs(got - want).max() / np.abs(want).max()
         # both paths round matmul inputs to bf16 on TPU; small op-order
         # differences remain
+        assert err < 1e-4, err
+
+    def test_forced_fused_learned_rk4_matches_xla(self):
+        """Multi-step forced Burgers: in-kernel phase rotation vs XLA."""
+        eq, grid, model, params, dt, u0 = _learned_setup(
+            "burgers", True, 6, batch=16
+        )
+        forcing = eq.sample_forcing(jax.random.PRNGKey(3), (16,))
+        t0 = 0.37
+        rhs = model.rhs_fn(params, forcing, use_pallas=False)
+        u, t = u0, t0
+        for _ in range(5):
+            u = integrate.rk4_step(rhs, u, jnp.asarray(t), dt)
+            t += dt
+        want = np.asarray(u)
+        adv = jax.jit(model.fused_rk4_fn(params, dt, 5, batch_tile=8,
+                                         forcing=forcing, t0=t0))
+        got = np.asarray(adv(u0))
+        err = np.abs(got - want).max() / np.abs(want).max()
         assert err < 1e-4, err
 
     def test_forced_fused_rhs_matches_xla(self):
