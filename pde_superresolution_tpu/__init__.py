@@ -33,3 +33,21 @@ Layer map (mirrors SURVEY.md §1):
 """
 
 __version__ = "0.1.0"
+
+import os as _os
+
+if _os.environ.get("JAX_COMPILATION_CACHE_DIR"):
+    # Honor the standard cache env var even on JAX builds that don't read
+    # it themselves (this environment's 0.9 build doesn't): the test suite
+    # and CLI smoke tests re-compile identical tiny programs dozens of
+    # times; a persistent cache cuts the suite's wall time severalfold.
+    import jax as _jax
+
+    try:
+        _jax.config.update(
+            "jax_compilation_cache_dir",
+            _os.environ["JAX_COMPILATION_CACHE_DIR"],
+        )
+        _jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.5)
+    except Exception:  # unknown config name on some other JAX version
+        pass

@@ -212,6 +212,42 @@ def integrate(
     return times, traj
 
 
+def integrate_fused(
+    advance,
+    u0: jnp.ndarray,
+    dt: float,
+    num_steps: int,
+    save_every: int = 1,
+    t0: float = 0.0,
+) -> tuple[jnp.ndarray, jnp.ndarray]:
+    """``integrate``'s contract, but each save interval is ONE ``advance``.
+
+    ``advance(u, t)`` must run exactly ``save_every`` RK4 steps of size
+    ``dt`` starting at time ``t`` — e.g. the whole-interval Mosaic kernel
+    from ``StencilModel.fused_rk4_fn(params, dt, num_steps=save_every,
+    forcing=..., t0=...)``, which keeps the state in VMEM for the entire
+    interval. The outer lax.scan only touches HBM once per snapshot.
+
+    Returns (times [num_saves+1], trajectory [num_saves+1, *u0.shape]),
+    both including the initial condition, identical to ``integrate``.
+    """
+    if num_steps % save_every:
+        raise ValueError(f"{num_steps=} not divisible by {save_every=}")
+    num_saves = num_steps // save_every
+
+    def outer(carry, _):
+        u, t = carry
+        u = advance(u, t)
+        return (u, t + dt * save_every), u
+
+    (_, _), traj = jax.lax.scan(
+        outer, (u0, jnp.asarray(t0, u0.dtype)), None, length=num_saves
+    )
+    traj = jnp.concatenate([u0[None], traj], axis=0)
+    times = t0 + dt * save_every * jnp.arange(num_saves + 1)
+    return times, traj
+
+
 # ---------------------------------------------------------------------------
 # ETDRK4 spectral solver (exact reference solutions).
 # ---------------------------------------------------------------------------

@@ -267,7 +267,10 @@ class StencilModel:
             interpret=interpret,
         )
 
-        def advance(u: jnp.ndarray) -> jnp.ndarray:
-            return fused(u, params, forcing, t0)
+        def advance(u: jnp.ndarray, t=None) -> jnp.ndarray:
+            """Advance num_steps RK4 steps from time ``t`` (default: the
+            ``t0`` this closure was built with). ``t`` may be traced, so the
+            advance can sit inside a lax.scan over trajectory segments."""
+            return fused(u, params, forcing, t0 if t is None else t)
 
         return advance

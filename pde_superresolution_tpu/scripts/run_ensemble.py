@@ -35,6 +35,10 @@ flags.DEFINE_float("ic_scale", 1.0, "initial-condition amplitude")
 flags.DEFINE_string("output_path", None,
                     "optional HDF5 store (resumable across restarts)")
 flags.DEFINE_integer("num_saves", 10, "snapshots to keep over the horizon")
+flags.DEFINE_string(
+    "fused", "auto",
+    "whole-interval Mosaic kernel between snapshots (auto/true/false); "
+    "auto = on-TPU when shapes tile and no HDF5 output is requested")
 
 
 def main(argv):
@@ -63,30 +67,80 @@ def main(argv):
     num_steps = int(np.ceil(FLAGS.time_max / dt))
     save_every = max(1, num_steps // FLAGS.num_saves)
     num_steps = save_every * FLAGS.num_saves
+
+    advance = None
+    if FLAGS.fused != "false" and not FLAGS.output_path:
+        # whole-interval Mosaic kernel: every RK4 step between snapshots
+        # stays in VMEM (models.StencilModel.fused_rk4_fn); in-kernel
+        # rotated-phase forcing for forced equations
+        tile = next(
+            (tb for tb in (256, 128, 64, 32, 16, 8) if n % tb == 0), None
+        )
+        supported = (
+            jax.default_backend() == "tpu"
+            and tile is not None
+            and coarse.size % 128 == 0
+        )
+        if supported:
+            try:
+                advance = model.fused_rk4_fn(
+                    params, dt, save_every, batch_tile=tile, forcing=forcing
+                )
+            except ValueError as e:  # e.g. non-contiguous stencil taps
+                print(f"fused kernel unavailable ({e}); using XLA scan")
+        elif FLAGS.fused == "true":
+            raise ValueError(
+                f"--fused=true but shapes ({n}, {coarse.size}) don't tile "
+                "or backend is not TPU"
+            )
     rhs = model.rhs_fn(params, forcing)
 
     # NOTE: t0 is the PHYSICAL start time (warmup end) — the forcing phase
     # must continue across the warmup handoff. Keep the wall-clock timer in
     # a separate variable (a past version clobbered t0 here, feeding
     # perf_counter() seconds into the forcing phase).
-    wall_start = time.perf_counter()
+    compile_s = 0.0
     if FLAGS.output_path:
+        wall_start = time.perf_counter()
         times, traj = integrate.integrate_resumable(
             rhs, u0, dt, num_steps, save_every, FLAGS.output_path, t0=t0
         )
+        jax.block_until_ready(traj)
+        elapsed = time.perf_counter() - wall_start
     else:
-        times, traj = integrate.integrate(
-            rhs, u0, dt, num_steps, save_every, t0=t0
-        )
-    jax.block_until_ready(traj)
-    elapsed = time.perf_counter() - wall_start
+        # AOT-compile outside the timed region: the one-time XLA/Mosaic
+        # compile (~0.5-1 min for the fused kernel) would otherwise swamp
+        # the throughput of short runs; it is reported separately.
+        if advance is not None:
+            rollout = jax.jit(
+                lambda u: integrate.integrate_fused(
+                    advance, u, dt, num_steps, save_every, t0=t0
+                )
+            )
+        else:
+            rollout = jax.jit(
+                lambda u: integrate.integrate(
+                    rhs, u, dt, num_steps, save_every, t0=t0
+                )
+            )
+        wall_start = time.perf_counter()
+        compiled = rollout.lower(u0).compile()
+        compile_s = time.perf_counter() - wall_start
+        wall_start = time.perf_counter()
+        times, traj = compiled(u0)
+        jax.block_until_ready(traj)
+        elapsed = time.perf_counter() - wall_start
 
     final = np.asarray(traj[-1])
     finite = np.isfinite(final).all(axis=-1)
     k, spectrum = analysis.energy_spectrum(final[finite], equation.period)
+    path = "fused kernel" if advance is not None else (
+        "resumable XLA scan" if FLAGS.output_path else "XLA scan"
+    )
     print(
         f"{n} trajectories x {num_steps} RK4 steps (nx={coarse.size}) in "
-        f"{elapsed:.1f}s = {n * num_steps / elapsed:,.0f} traj-steps/s/chip"
+        f"{elapsed:.1f}s = {n * num_steps / elapsed:,.0f} traj-steps/s/chip "
+        f"[{path}, compile {compile_s:.1f}s]"
     )
     print(
         f"physical time window t=[{float(times[0]):.6f}, "

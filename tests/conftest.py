@@ -24,6 +24,22 @@ if not os.environ.get("PDE_TPU_TESTS"):
             flags + " --xla_force_host_platform_device_count=8"
         ).strip()
 
+    # Persistent XLA compilation cache: the suite's wall time is dominated
+    # by repeated CPU compiles of the jitted train/integration steps (the
+    # problem sizes are already tiny). The env var (not just jax.config)
+    # makes the subprocess tests (test_scripts, test_graft_entry) share the
+    # cache. Keyed by HLO + topology hash, so it is always safe to delete.
+    cache_dir = os.environ.setdefault(
+        "JAX_COMPILATION_CACHE_DIR",
+        os.path.join(os.path.dirname(os.path.dirname(__file__)),
+                     ".cache", "jax"),
+    )
+    os.makedirs(cache_dir, exist_ok=True)
+
     import jax
 
     jax.config.update("jax_platforms", "cpu")
+    # this JAX build does not read the env var itself — apply it here for
+    # the in-process tests (the package __init__ applies it in subprocesses)
+    jax.config.update("jax_compilation_cache_dir", cache_dir)
+    jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.5)

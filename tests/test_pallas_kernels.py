@@ -154,6 +154,22 @@ class TestFusedLearnedRK4:
         err = np.abs(got - want).max() / np.abs(want).max()
         assert err < 2e-3, err
 
+    def test_integrate_fused_matches_integrate(self):
+        """integrate_fused (scan of whole-interval kernels, traced segment
+        start times) == integrate (scan of single RK4 steps)."""
+        eq, grid, model, params, dt, u0 = _learned_setup("burgers", True, 6)
+        forcing = eq.sample_forcing(jax.random.PRNGKey(3), (u0.shape[0],))
+        t0 = 0.2
+        rhs = model.rhs_fn(params, forcing, use_pallas=False)
+        want_times, want = integrate.integrate(rhs, u0, dt, 4, 2, t0=t0)
+        adv = model.fused_rk4_fn(params, dt, 2, batch_tile=8, interpret=True,
+                                 forcing=forcing)
+        got_times, got = integrate.integrate_fused(adv, u0, dt, 4, 2, t0=t0)
+        np.testing.assert_allclose(np.asarray(got_times),
+                                   np.asarray(want_times), rtol=1e-6)
+        err = np.abs(np.asarray(got) - np.asarray(want)).max()
+        assert err < 2e-3 * np.abs(np.asarray(want)).max(), err
+
     def test_forced_equation_requires_forcing(self):
         eq = equations.from_name("burgers", conservative=True)
         grid = Grid(NX, eq.period)
