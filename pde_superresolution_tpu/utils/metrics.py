@@ -4,8 +4,9 @@ The TPU-native replacement for the reference's tf.summary event files
 (SURVEY.md §5 "Metrics / logging"): newline-delimited JSON records that any
 tool can tail/parse, written from the host side of the training loop. Pass
 ``tensorboard_dir`` to ALSO mirror every scalar into TensorBoard event
-files (≈ the reference's tf.summary behavior); the dependency is optional
-— a missing tensorboard install degrades to JSONL-only with a warning.
+files (≈ the reference's tf.summary behavior), written by the in-repo
+dependency-free event writer (utils/tb_events.py) — no TensorFlow or torch
+import on the logging path.
 """
 
 from __future__ import annotations
@@ -13,8 +14,9 @@ from __future__ import annotations
 import json
 import os
 import time
-import warnings
 from typing import IO, Optional
+
+from pde_superresolution_tpu.utils.tb_events import EventWriter
 
 
 class MetricsLogger:
@@ -31,15 +33,7 @@ class MetricsLogger:
             os.makedirs(os.path.dirname(os.path.abspath(path)), exist_ok=True)
             self._file = open(path, "a")
         if tensorboard_dir:
-            try:
-                from torch.utils.tensorboard import SummaryWriter
-
-                self._tb = SummaryWriter(log_dir=tensorboard_dir)
-            except ImportError:
-                warnings.warn(
-                    "tensorboard is not installed; metrics stay JSONL-only",
-                    stacklevel=2,
-                )
+            self._tb = EventWriter(tensorboard_dir)
         self._start = time.time()
 
     def log(self, step: int, **values) -> None:
