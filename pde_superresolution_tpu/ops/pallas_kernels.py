@@ -563,6 +563,12 @@ def make_fused_learned_rk4(
             raise ValueError("fused learned RK4 assumes a 1-channel input")
         if forced and forcing is None:
             raise ValueError(f"{equation.name} is forced: forcing required")
+        if not forced and forcing is not None:
+            # the XLA twin (Equation.time_derivative) applies any forcing it
+            # is handed; silently dropping it here would diverge the paths
+            raise ValueError(
+                f"{equation.name} is unforced but forcing was passed"
+            )
         weights = pack_params(params)
         n_tiles = batch // tb
         n = nx * tb
@@ -594,12 +600,22 @@ def make_fused_learned_rk4(
                     )
                 )
         n_w = len(weights)
-        # the default 16 MiB scoped-VMEM stack is too small once the forced
-        # path's per-term phase tiles (5 x [terms, n] f32) join the packed
-        # conv stacks; size the limit to the live tiles plus scratch margin
-        vmem_bytes = 32 * 1024 * 1024 + sum(
-            4 * int(np.prod(ft.shape[1:])) for ft in ftiles
-        ) * 3  # (s, c) carries + rotation temporaries
+        # The default 16 MiB scoped-VMEM stack is too small for this kernel;
+        # size the limit from every live [*, n]-lane tile (they all scale
+        # with n = nx * batch_tile): the u-stack, the bf16 packed conv
+        # stacks (2 can be live across a dot), f32 activations + head/coeff
+        # rows, the five RK4 state/stage vectors, and — forced — the 5
+        # forcing tiles plus (sin, cos) carries and rotation temporaries.
+        # A 1.5x safety factor covers Mosaic temporaries; 16 MiB floor.
+        n_forcing_rows = sum(int(ft.shape[1]) for ft in ftiles) * 7 // 5
+        bytes_per_lane = (
+            4 * (n_taps + 3 * weights[0].shape[0] + s_tot + f_tot + 8)
+            + 2 * (2 * kernel_size * weights[0].shape[0])
+            + 4 * n_forcing_rows
+        )
+        vmem_bytes = int(
+            16 * 1024 * 1024 + 1.5 * bytes_per_lane * n
+        )
         out = pl.pallas_call(
             lambda *refs: kernel(
                 refs[0].at[0],

@@ -35,10 +35,11 @@ flags.DEFINE_float("ic_scale", 1.0, "initial-condition amplitude")
 flags.DEFINE_string("output_path", None,
                     "optional HDF5 store (resumable across restarts)")
 flags.DEFINE_integer("num_saves", 10, "snapshots to keep over the horizon")
-flags.DEFINE_string(
-    "fused", "auto",
-    "whole-interval Mosaic kernel between snapshots (auto/true/false); "
-    "auto = on-TPU when shapes tile and no HDF5 output is requested")
+flags.DEFINE_enum(
+    "fused", "auto", ["auto", "true", "false"],
+    "whole-interval Mosaic kernel between snapshots; auto = on-TPU when "
+    "shapes tile and no HDF5 output is requested (falls back to the XLA "
+    "scan if the kernel fails to build or compile)")
 
 
 def main(argv):
@@ -68,31 +69,33 @@ def main(argv):
     save_every = max(1, num_steps // FLAGS.num_saves)
     num_steps = save_every * FLAGS.num_saves
 
-    advance = None
+    if FLAGS.fused == "true" and FLAGS.output_path:
+        raise ValueError(
+            "--fused=true conflicts with --output_path: the resumable HDF5 "
+            "integrator drives single RK4 steps (drop one of the two flags)"
+        )
+    fused_tiles = []
     if FLAGS.fused != "false" and not FLAGS.output_path:
         # whole-interval Mosaic kernel: every RK4 step between snapshots
         # stays in VMEM (models.StencilModel.fused_rk4_fn); in-kernel
-        # rotated-phase forcing for forced equations
-        tile = next(
-            (tb for tb in (256, 128, 64, 32, 16, 8) if n % tb == 0), None
-        )
+        # rotated-phase forcing for forced equations. Larger batch tiles are
+        # faster; a tile that overflows VMEM fails AOT compile and the next
+        # one is tried (then the XLA scan, unless --fused=true).
+        fused_tiles = [
+            tb for tb in (256, 128, 64, 32, 16, 8) if n % tb == 0
+        ]
         supported = (
             jax.default_backend() == "tpu"
-            and tile is not None
+            and fused_tiles
             and coarse.size % 128 == 0
         )
-        if supported:
-            try:
-                advance = model.fused_rk4_fn(
-                    params, dt, save_every, batch_tile=tile, forcing=forcing
+        if not supported:
+            if FLAGS.fused == "true":
+                raise ValueError(
+                    f"--fused=true but shapes ({n}, {coarse.size}) don't "
+                    "tile or backend is not TPU"
                 )
-            except ValueError as e:  # e.g. non-contiguous stencil taps
-                print(f"fused kernel unavailable ({e}); using XLA scan")
-        elif FLAGS.fused == "true":
-            raise ValueError(
-                f"--fused=true but shapes ({n}, {coarse.size}) don't tile "
-                "or backend is not TPU"
-            )
+            fused_tiles = []
     rhs = model.rhs_fn(params, forcing)
 
     # NOTE: t0 is the PHYSICAL start time (warmup end) — the forcing phase
@@ -100,6 +103,7 @@ def main(argv):
     # a separate variable (a past version clobbered t0 here, feeding
     # perf_counter() seconds into the forcing phase).
     compile_s = 0.0
+    advance = None
     if FLAGS.output_path:
         wall_start = time.perf_counter()
         times, traj = integrate.integrate_resumable(
@@ -110,21 +114,39 @@ def main(argv):
     else:
         # AOT-compile outside the timed region: the one-time XLA/Mosaic
         # compile (~0.5-1 min for the fused kernel) would otherwise swamp
-        # the throughput of short runs; it is reported separately.
-        if advance is not None:
-            rollout = jax.jit(
-                lambda u: integrate.integrate_fused(
-                    advance, u, dt, num_steps, save_every, t0=t0
+        # the throughput of short runs; it is reported separately. Fused
+        # build/compile failures (e.g. VMEM overflow at a large tile,
+        # DECISIONS.md #15e) fall back: smaller tile, then the XLA scan.
+        compiled = None
+        wall_start = time.perf_counter()
+        for tile in fused_tiles:
+            try:
+                adv = model.fused_rk4_fn(
+                    params, dt, save_every, batch_tile=tile, forcing=forcing
                 )
-            )
-        else:
-            rollout = jax.jit(
+                compiled = jax.jit(
+                    lambda u, a=adv: integrate.integrate_fused(
+                        a, u, dt, num_steps, save_every, t0=t0
+                    )
+                ).lower(u0).compile()
+                advance = adv
+                break
+            except Exception as e:  # build or Mosaic-compile failure
+                print(
+                    f"fused kernel unavailable at batch_tile={tile} "
+                    f"({type(e).__name__}: {str(e)[:200]})"
+                )
+        if compiled is None:
+            if FLAGS.fused == "true":
+                raise RuntimeError(
+                    "--fused=true but the fused kernel failed to build/"
+                    "compile at every batch tile"
+                )
+            compiled = jax.jit(
                 lambda u: integrate.integrate(
                     rhs, u, dt, num_steps, save_every, t0=t0
                 )
-            )
-        wall_start = time.perf_counter()
-        compiled = rollout.lower(u0).compile()
+            ).lower(u0).compile()
         compile_s = time.perf_counter() - wall_start
         wall_start = time.perf_counter()
         times, traj = compiled(u0)

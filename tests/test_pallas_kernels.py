@@ -178,6 +178,18 @@ class TestFusedLearnedRK4:
         with pytest.raises(ValueError, match="forc"):
             model.fused_rk4_fn(params, 0.01, 5, interpret=True)
 
+    def test_unforced_equation_rejects_forcing(self):
+        """The XLA twin applies any forcing it is handed; the kernel must
+        raise rather than silently drop it for an unforced equation."""
+        eq, grid, model, params, dt, u0 = _learned_setup("ks", True, 6)
+        forcing = equations.from_name("burgers").sample_forcing(
+            jax.random.PRNGKey(0), (u0.shape[0],)
+        )
+        adv = model.fused_rk4_fn(params, dt, 1, batch_tile=8, interpret=True,
+                                 forcing=forcing)
+        with pytest.raises(ValueError, match="unforced"):
+            adv(u0)
+
     def test_bad_tile_raises(self):
         eq, grid, model, params, dt, u0 = _learned_setup("ks", True, 6)
         adv = model.fused_rk4_fn(params, dt, 1, batch_tile=7, interpret=True)

@@ -189,11 +189,12 @@ class TestGSPMDAutoSharding:
 
         eq = equations.from_name("ks", conservative=True)
         grid = Grid(32, eq.period)
-        # space=2 keeps the cross-device halo exchange while halving the
-        # GSPMD partitioning work (this compile dominated the suite's wall
-        # time; the space=4 ring is still covered by the RHS-equivalence
-        # tests above)
-        mesh = parallel.make_mesh(data=2, space=2)
+        # space=4 is load-bearing here: on a 2-device space ring the left
+        # and right neighbors coincide, so a mirrored/swapped halo exchange
+        # in the TRAINING path (gradient flow included) would go unnoticed.
+        # This is the one training-path test that keeps the 4-way ring; the
+        # full-train equivalence below runs at space=2 for wall time.
+        mesh = parallel.make_mesh(data=2, space=4)
         model = StencilModel(
             eq, grid, ModelConfig(num_layers=1, filters=4, stencil_size=6)
         )
