@@ -178,6 +178,9 @@ class StencilModel:
             no longer reproduces (scripts_dev/repro_forcing_hang.py, all
             rungs PASS on 2026-08-16; stress-tested 30 launches + scan) —
             DECISIONS.md #15 has the history.
+            FORWARD-ONLY: the kernel has no differentiation rule — under
+            jax.grad (e.g. the unrolled training loss) pass
+            use_pallas=False explicitly.
         """
         if use_pallas is None:
             use_pallas = jax.default_backend() == "tpu"

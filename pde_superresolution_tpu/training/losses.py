@@ -244,7 +244,11 @@ def compute_loss(
     loss = loss + weights.time_derivative * part
 
     if unroll_steps > 0 and weights.integrated_solution > 0:
-        rhs = model.rhs_fn(params, forcing)
+        # use_pallas=False is load-bearing: this rollout sits under
+        # jax.grad, and the Mosaic kernel path has no differentiation rule
+        # (with a tileable coarse grid the TPU default would crash training
+        # with "Differentiation rule for 'roll' not implemented")
+        rhs = model.rhs_fn(params, forcing, use_pallas=False)
         # substeps decouple the snapshot spacing from the coarse CFL limit:
         # comparisons happen only every `substeps` inner RK4 steps, so the
         # rollout stays inside the stable region regardless of how the data

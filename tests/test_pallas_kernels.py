@@ -246,6 +246,41 @@ class TestOnTPU:
         # differences remain
         assert err < 1e-4, err
 
+    def test_training_grad_with_tileable_grid(self):
+        """Regression: with a 128-multiple coarse grid the TPU-default
+        Pallas RHS is non-differentiable; the unrolled loss must force the
+        XLA path or jax.grad dies with 'Differentiation rule for roll'."""
+        from pde_superresolution_tpu.training import LossWeights
+        from pde_superresolution_tpu.training import data as data_lib
+        from pde_superresolution_tpu.training import losses as loss_lib
+
+        eq, grid, model, params, dt, u0 = _learned_setup("ks", True, 6, batch=8)
+        assert grid.size % 128 == 0  # the shape class that triggered the bug
+        key = jax.random.PRNGKey(1)
+        dataset = data_lib.TrainingData(
+            inputs=u0,
+            t=jnp.zeros((8,)),
+            forcing=None,
+            deriv_labels={
+                d: jax.random.normal(jax.random.fold_in(key, d), u0.shape)
+                for d in eq.derivative_orders
+            },
+            time_deriv_label=jax.random.normal(jax.random.fold_in(key, 9), u0.shape),
+            rollout=jnp.tile(u0[:, None], (1, 2, 1)),
+        )
+        norms = loss_lib.compute_loss_norms(model, dataset, 2, dt, substeps=2)
+
+        def f(p):
+            loss, _ = loss_lib.compute_loss(
+                model, p, dataset, norms, LossWeights(), dt=dt,
+                unroll_steps=2, substeps=2,
+            )
+            return loss
+
+        loss, grads = jax.jit(jax.value_and_grad(f))(params)
+        assert np.isfinite(float(loss))
+        assert all(np.isfinite(np.asarray(g)).all() for g in jax.tree.leaves(grads))
+
     def test_forced_fused_learned_rk4_matches_xla(self):
         """Multi-step forced Burgers: in-kernel phase rotation vs XLA."""
         eq, grid, model, params, dt, u0 = _learned_setup(
