@@ -93,6 +93,15 @@ class TestCLIPipeline:
         )
         assert "traj-steps/s" in out
 
+    def test_ensemble_fused_true_fails_cleanly_off_tpu(self, pipeline_dirs):
+        _, ckpt, _ = pipeline_dirs
+        with pytest.raises(AssertionError, match="fused"):
+            run_cli(
+                "run_ensemble",
+                [f"--checkpoint_dir={ckpt}", "--num_trajectories=8",
+                 "--time_max=0.2", "--num_saves=2", "--fused=true"],
+            )
+
     def test_ensemble_warmup_keeps_physical_t0(self, pipeline_dirs):
         """Regression: the wall-clock timer must not clobber the physical
         start time. With --warmup_time>0 on a FORCED equation (burgers), the
