@@ -48,6 +48,6 @@ if _os.environ.get("JAX_COMPILATION_CACHE_DIR"):
             "jax_compilation_cache_dir",
             _os.environ["JAX_COMPILATION_CACHE_DIR"],
         )
-        _jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.5)
+        _jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.1)
     except Exception:  # unknown config name on some other JAX version
         pass

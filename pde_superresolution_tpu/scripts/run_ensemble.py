@@ -40,6 +40,11 @@ flags.DEFINE_enum(
     "whole-interval Mosaic kernel between snapshots; auto = on-TPU when "
     "shapes tile and no HDF5 output is requested (falls back to the XLA "
     "scan if the kernel fails to build or compile)")
+flags.DEFINE_integer(
+    "data_parallel", 0,
+    "shard the ensemble (warmup + integration) over this many devices of a "
+    "('data',) mesh; 0 = single device. Uses the XLA scan path (the Mosaic "
+    "kernel is a custom call GSPMD cannot partition).")
 
 
 def main(argv):
@@ -52,6 +57,25 @@ def main(argv):
     key, k_f = jax.random.split(jax.random.PRNGKey(FLAGS.seed))
     u0 = FLAGS.ic_scale * equation.initial_conditions(key, coarse, (n,))
     forcing = equation.sample_forcing(k_f, (n,))  # None for unforced eqs
+    if FLAGS.data_parallel:
+        # DP over the trajectory axis: GSPMD shards the warmup spectral
+        # solve and the XLA-scan integration with zero code changes below
+        from jax.sharding import NamedSharding, PartitionSpec as P
+
+        from pde_superresolution_tpu import parallel
+
+        if n % FLAGS.data_parallel:
+            raise ValueError(
+                f"num_trajectories={n} not divisible by "
+                f"data_parallel={FLAGS.data_parallel}"
+            )
+        mesh = parallel.make_mesh(data=FLAGS.data_parallel)
+        sharding = NamedSharding(mesh, P("data"))
+        u0 = jax.device_put(u0, sharding)
+        if forcing is not None:
+            forcing = jax.tree.map(
+                lambda leaf: jax.device_put(leaf, sharding), forcing
+            )
     t0 = 0.0
     if FLAGS.warmup_time > 0:
         # warm up with the exact solver on the coarse grid (cheap, batched)
@@ -75,7 +99,13 @@ def main(argv):
             "integrator drives single RK4 steps (drop one of the two flags)"
         )
     fused_tiles = []
-    if FLAGS.fused != "false" and not FLAGS.output_path:
+    if FLAGS.data_parallel and FLAGS.fused == "true":
+        raise ValueError(
+            "--fused=true conflicts with --data_parallel: the Mosaic kernel "
+            "is a custom call GSPMD cannot partition"
+        )
+    if (FLAGS.fused != "false" and not FLAGS.output_path
+            and not FLAGS.data_parallel):
         # whole-interval Mosaic kernel: every RK4 step between snapshots
         # stays in VMEM (models.StencilModel.fused_rk4_fn); in-kernel
         # rotated-phase forcing for forced equations. Larger batch tiles are
@@ -159,6 +189,8 @@ def main(argv):
     path = "fused kernel" if advance is not None else (
         "resumable XLA scan" if FLAGS.output_path else "XLA scan"
     )
+    if FLAGS.data_parallel:
+        path += f", dp={FLAGS.data_parallel}"
     print(
         f"{n} trajectories x {num_steps} RK4 steps (nx={coarse.size}) in "
         f"{elapsed:.1f}s = {n * num_steps / elapsed:,.0f} traj-steps/s/chip "

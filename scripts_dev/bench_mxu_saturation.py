@@ -1,0 +1,76 @@
+"""MXU-saturation probe for the fused learned RK4 kernel.
+
+The flagship (paper-default) tower has 32 channels, which fills only 32 of
+the MXU's 128 rows and caps attainable bf16 throughput at ~49 TFLOPS on
+v5e (RESULTS.md roofline). This probe benchmarks the SAME kernel with a
+128-channel tower — the shape the hardware wants — to show the kernel
+itself is not the bottleneck. Not a science config (filters=64 already
+gave no accuracy gain, RESULTS.md); purely a hardware-utilization
+demonstration.
+
+Run: PYTHONPATH=/root/repo python scripts_dev/bench_mxu_saturation.py
+"""
+
+import time
+
+import jax
+import jax.numpy as jnp
+
+from pde_superresolution_tpu import equations
+from pde_superresolution_tpu.grids import Grid
+from pde_superresolution_tpu.models import ModelConfig, StencilModel
+
+BATCH, FINE, FACTOR, STEPS = 256, 1024, 8, 100
+
+
+def flops_per_step(model, nx):
+    cfg = model.config
+    c, k = cfg.filters, cfg.kernel_size
+    frees = []
+    sizes = []
+    for d in sorted(model.constraint_layers):
+        layer = model.constraint_layers[d]
+        ns = getattr(layer, "nullspace", None)
+        frees.append(ns.shape[0] if ns is not None else len(layer.offsets))
+        sizes.append(len(layer.offsets))
+    f_tot, s_tot = sum(frees), sum(sizes)
+    per_lane = (
+        2 * c * k
+        + 2 * c * c * k * (cfg.num_layers - 1)
+        + 2 * f_tot * c
+        + 2 * s_tot * f_tot * 6  # HIGHEST projection ~ 6 bf16 passes
+        + 2 * s_tot
+    )
+    return 4 * per_lane * BATCH * nx  # 4 RHS per RK4 step
+
+
+def bench(filters):
+    eq = equations.from_name("ks", conservative=True)
+    coarse = Grid(FINE, eq.period).resample(FACTOR, conservative=True)
+    model = StencilModel(
+        eq, coarse, ModelConfig(stencil_size=6, filters=filters)
+    )
+    params = model.init_params(jax.random.PRNGKey(0))
+    dt = eq.stable_time_step(coarse, u_scale=3.0)
+    u0 = eq.initial_conditions(jax.random.PRNGKey(1), coarse, (BATCH,))
+    adv = jax.jit(model.fused_rk4_fn(params, dt, STEPS, batch_tile=BATCH))
+    adv(u0).block_until_ready()
+    t0 = time.perf_counter()
+    reps = 0
+    u = u0
+    while time.perf_counter() - t0 < 2.0:
+        u = adv(u)
+        reps += 1
+    u.block_until_ready()
+    sps = reps * STEPS / (time.perf_counter() - t0)
+    tflops = sps * flops_per_step(model, coarse.size) / 1e12
+    print(
+        f"filters={filters:4d}: {sps:8,.0f} RK4 steps/s = {tflops:6.1f} "
+        f"TFLOPS effective (bf16 peak ~197, "
+        f"row-cap ~{197 * min(filters, 128) / 128:.0f})"
+    )
+
+
+if __name__ == "__main__":
+    for filters in (32, 64, 128):
+        bench(filters)

@@ -42,4 +42,4 @@ if not os.environ.get("PDE_TPU_TESTS"):
     # this JAX build does not read the env var itself — apply it here for
     # the in-process tests (the package __init__ applies it in subprocesses)
     jax.config.update("jax_compilation_cache_dir", cache_dir)
-    jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.5)
+    jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.1)

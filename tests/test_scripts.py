@@ -93,6 +93,16 @@ class TestCLIPipeline:
         )
         assert "traj-steps/s" in out
 
+    def test_ensemble_data_parallel(self, pipeline_dirs):
+        """DP-sharded ensemble over the 8-device virtual mesh."""
+        _, ckpt, _ = pipeline_dirs
+        out = run_cli(
+            "run_ensemble",
+            [f"--checkpoint_dir={ckpt}", "--num_trajectories=16",
+             "--time_max=0.2", "--num_saves=2", "--data_parallel=8"],
+        )
+        assert "dp=8" in out and "finite: 16/16" in out
+
     def test_ensemble_fused_true_fails_cleanly_off_tpu(self, pipeline_dirs):
         _, ckpt, _ = pipeline_dirs
         with pytest.raises(AssertionError, match="fused"):
