@@ -8,7 +8,14 @@ itself is not the bottleneck. Not a science config (filters=64 already
 gave no accuracy gain, RESULTS.md); purely a hardware-utilization
 demonstration.
 
-Run: PYTHONPATH=/root/repo python scripts_dev/bench_mxu_saturation.py
+Run: PYTHONPATH=/root/repo python scripts_dev/bench_mxu_saturation.py [filters...]
+
+WARNING (2026-08-17): run ONE filters value per process, bounded with
+`timeout 580`. An early version let the filters=64 tower request ~172 MB
+of scoped VMEM (over the 128 MB physical budget); killing that hung Mosaic
+compile wedged the chip for ~40 minutes (trivial XLA ops recovered first,
+Mosaic compiles stayed hung longer) — the DECISIONS.md #15 wedge pattern.
+The per-filters batch tiles below keep every config inside the budget.
 """
 
 import time
@@ -44,7 +51,7 @@ def flops_per_step(model, nx):
     return 4 * per_lane * BATCH * nx  # 4 RHS per RK4 step
 
 
-def bench(filters):
+def bench(filters, batch_tile):
     eq = equations.from_name("ks", conservative=True)
     coarse = Grid(FINE, eq.period).resample(FACTOR, conservative=True)
     model = StencilModel(
@@ -53,7 +60,9 @@ def bench(filters):
     params = model.init_params(jax.random.PRNGKey(0))
     dt = eq.stable_time_step(coarse, u_scale=3.0)
     u0 = eq.initial_conditions(jax.random.PRNGKey(1), coarse, (BATCH,))
-    adv = jax.jit(model.fused_rk4_fn(params, dt, STEPS, batch_tile=BATCH))
+    adv = jax.jit(
+        model.fused_rk4_fn(params, dt, STEPS, batch_tile=batch_tile)
+    )
     adv(u0).block_until_ready()
     t0 = time.perf_counter()
     reps = 0
@@ -72,5 +81,13 @@ def bench(filters):
 
 
 if __name__ == "__main__":
-    for filters in (32, 64, 128):
-        bench(filters)
+    import sys
+    # batch_tile shrinks as the tower grows so the live VMEM tiles
+    # (bf16 conv stacks scale with K*filters*n) stay inside the 128 MiB
+    # budget; grid programs over the batch serialize on-core, so smaller
+    # tiles only cost per-program overhead, not parallelism
+    configs = {32: 256, 64: 128, 128: 64}
+    wanted = [int(a) for a in sys.argv[1:]] or list(configs)
+    for filters in wanted:
+        bench(filters, configs[filters])
+        sys.stdout.flush()
