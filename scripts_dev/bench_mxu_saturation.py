@@ -16,6 +16,11 @@ of scoped VMEM (over the 128 MB physical budget); killing that hung Mosaic
 compile wedged the chip for ~40 minutes (trivial XLA ops recovered first,
 Mosaic compiles stayed hung longer) — the DECISIONS.md #15 wedge pattern.
 The per-filters batch tiles below keep every config inside the budget.
+filters=128 did NOT finish its Mosaic compile within 10 minutes even at a
+VMEM-safe tile (compile cost grows super-linearly with tower width here);
+do not attempt it unattended — measured results: 32ch 39 TFLOPS (80%% of
+its 49-TFLOPS row cap), 64ch 101 TFLOPS (103%% of its 98-TFLOPS row cap,
+i.e. AT the roofline).
 """
 
 import time
