@@ -28,6 +28,17 @@ class TestMetricsLogger:
         logger.log(1, x=1.0)  # must not raise
         logger.close()
 
+    def test_tb_crc32c_known_vectors(self):
+        """The TFRecord framing stands on crc32c; pin it to the published
+        check value (RFC 3720 §B.4: crc32c('123456789') = 0xE3069283)."""
+        from pde_superresolution_tpu.utils import tb_events
+
+        assert tb_events._crc32c(b"123456789") == 0xE3069283
+        assert tb_events._crc32c(b"") == 0
+        # varint round-trip spot checks
+        assert tb_events._varint(0) == b"\x00"
+        assert tb_events._varint(300) == b"\xac\x02"
+
     def test_tensorboard_mirror(self, tmp_path):
         tb_dir = str(tmp_path / "tb")
         logger = MetricsLogger(
