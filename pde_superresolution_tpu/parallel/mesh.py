@@ -30,8 +30,10 @@ def initialize_multihost(**kwargs) -> None:
     every chip in the slice (ICI within a pod, DCN across slices) and the
     same sharded-jit / shard_map code runs unchanged — XLA routes the
     collectives. No-op when already initialized. Single-process runs never
-    need it. (Untestable in this single-host environment; the multi-device
-    path is covered by the virtual-mesh tests.)
+    need it. (Cannot run for real on a single host; its contract — kwarg
+    passthrough, already-initialized tolerance, error propagation — is
+    stub-tested in tests/test_parallel.py::TestInitializeMultihost, and the
+    multi-device path is covered by the virtual-mesh tests.)
     """
     try:
         jax.distributed.initialize(**kwargs)

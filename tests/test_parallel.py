@@ -72,6 +72,41 @@ class TestHalo:
             )
 
 
+class TestInitializeMultihost:
+    """The wrapper can't run for real on a single host; verify its contract
+    (arg passthrough, already-initialized tolerance, error propagation)
+    against a stub so the code path has executed at least once."""
+
+    def test_passes_kwargs_through(self, monkeypatch):
+        seen = {}
+        monkeypatch.setattr(
+            jax.distributed, "initialize", lambda **kw: seen.update(kw)
+        )
+        parallel.initialize_multihost(
+            coordinator_address="10.0.0.1:1234", num_processes=4, process_id=2
+        )
+        assert seen == {
+            "coordinator_address": "10.0.0.1:1234",
+            "num_processes": 4,
+            "process_id": 2,
+        }
+
+    def test_tolerates_already_initialized(self, monkeypatch):
+        def boom(**kw):
+            raise RuntimeError("jax.distributed is already initialized")
+
+        monkeypatch.setattr(jax.distributed, "initialize", boom)
+        parallel.initialize_multihost()  # must not raise
+
+    def test_propagates_real_errors(self, monkeypatch):
+        def boom(**kw):
+            raise RuntimeError("coordinator unreachable")
+
+        monkeypatch.setattr(jax.distributed, "initialize", boom)
+        with pytest.raises(RuntimeError, match="unreachable"):
+            parallel.initialize_multihost()
+
+
 class TestShardedRHSEquivalence:
     @pytest.mark.parametrize("name,cons", [
         ("burgers", False), ("burgers", True), ("ks", False), ("ks", True),
