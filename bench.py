@@ -8,7 +8,10 @@ single-CPU TF1 pipeline; BASELINE.md targets >50x that).
 
 Prints ONE JSON line:
   {"metric": ..., "value": N, "unit": "rk4_steps/s/chip", "vs_baseline": N}
-(vs_baseline = TPU steps/sec / single-CPU steps/sec, same batch & program.)
+vs_baseline = (best available TPU product path: the fused Mosaic kernel
+when it wins, else the XLA scan) / (the same XLA-scan program on one CPU
+device — the reference is a single-CPU pipeline). The TPU path in use is
+printed on stderr, so the ratio's numerator is always identifiable.
 """
 
 import json

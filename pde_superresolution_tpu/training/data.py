@@ -389,10 +389,39 @@ def load_snapshots_h5(
                 u = u[None]
         if "times" in f:
             times = jnp.asarray(f["times"][...])
-            if times.shape[0] != u.shape[1] and times.shape[0] == u.shape[0] * u.shape[1]:
-                # flat times saved alongside a reshaped 2-D matrix: keep one
-                # trajectory's worth (trajectories share the time axis)
-                times = times[: u.shape[1]]
+            k, nt = u.shape[0], u.shape[1]
+            if times.shape[0] == k * nt and times.shape[0] != nt:
+                # flat times saved alongside a reshaped 2-D matrix: every
+                # trajectory must share ONE time window (the loader keeps a
+                # single [T] axis). Rows that are consecutive segments of
+                # one long run would otherwise silently get trajectory 0's
+                # times — wrong forcing phases and labels for a forced
+                # equation.
+                per_traj = np.asarray(times).reshape(k, nt)
+                rel = per_traj - per_traj[:, :1]
+                if not np.allclose(rel, rel[0], rtol=1e-6, atol=1e-8):
+                    raise ValueError(
+                        f"{path}: flat 'times' of length {k * nt} does not "
+                        f"split into {k} trajectories with a shared time "
+                        "window (rows have differing spacings); store times "
+                        "as one [num_times] axis or fix num_trajectories"
+                    )
+                if not np.allclose(per_traj[:, 0], per_traj[0, 0]):
+                    # segments of one long run: spacing matches but start
+                    # times differ — only time DIFFERENCES enter training
+                    # for unforced equations; forced labels need true t
+                    warnings.warn(
+                        f"{path}: trajectories have differing start times; "
+                        "using trajectory 0's window for all (forced-"
+                        "equation labels would be wrong for the rest)",
+                        stacklevel=2,
+                    )
+                times = times[:nt]
+            elif times.shape[0] != nt:
+                raise ValueError(
+                    f"{path}: 'times' has length {times.shape[0]}, expected "
+                    f"{nt} (per-trajectory) or {k * nt} (flat)"
+                )
         else:
             times = jnp.arange(u.shape[1], dtype=jnp.float32)
             synthetic = True

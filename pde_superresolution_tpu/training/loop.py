@@ -91,6 +91,15 @@ def _restore_state(ckpt_mgr, state: TrainState, config: TrainingConfig):
         latest, args=ocp.args.Composite(config=ocp.args.JsonRestore())
     )["config"]
     live = json.loads(config.to_json())
+    # Checkpoints written before a config field existed must stay resumable:
+    # round-trip the stored dict through TrainingConfig so missing fields
+    # pick up the live defaults (which are defined to reproduce the old
+    # behavior exactly — e.g. the round-2 absolute_error/relative_error
+    # loss-weight keys default to the round-1 absolute-only loss).
+    try:
+        stored = json.loads(TrainingConfig.from_json(json.dumps(stored)).to_json())
+    except (TypeError, KeyError):
+        pass  # unknown/missing stored keys: the explicit diff below reports
     diffs = {
         k: (stored.get(k), live.get(k))
         for k in sorted(set(stored) | set(live))

@@ -65,6 +65,33 @@ def test_dryrun_multichip_subprocess_fallback_when_backend_taken():
     assert "dryrun_multichip OK" in proc.stdout, proc.stdout[-1000:]
 
 
+def test_entry_refuses_after_inline_dryrun():
+    """dryrun_multichip pins the process to virtual CPU devices; a later
+    entry() in the same process must raise instead of silently compiling
+    the 'single-chip' step for a virtual CPU device."""
+    code = (
+        "import __graft_entry__\n"
+        "__graft_entry__.dryrun_multichip(2)\n"
+        "try:\n"
+        "    __graft_entry__.entry()\n"
+        "except RuntimeError as e:\n"
+        "    assert 'fresh process' in str(e), e\n"
+        "    print('REFUSED-OK')\n"
+        "else:\n"
+        "    raise SystemExit('entry() silently ran on the CPU backend')\n"
+    )
+    proc = subprocess.run(
+        [sys.executable, "-c", code],
+        env=_driver_env(),
+        cwd=REPO,
+        capture_output=True,
+        text=True,
+        timeout=900,
+    )
+    assert proc.returncode == 0, proc.stderr[-3000:]
+    assert "REFUSED-OK" in proc.stdout
+
+
 def test_entry_compiles_and_runs():
     """entry() returns (fn, args) that jit-compile and produce finite output."""
     import jax

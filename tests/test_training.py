@@ -227,6 +227,35 @@ class TestTrainLoop:
         with pytest.raises(ValueError, match="learning_stops"):
             loop_lib.train(bad_stops, checkpoint_dir=ckpt_dir)
 
+    def test_resume_accepts_checkpoint_missing_new_fields(self, tmp_path):
+        """A checkpoint written before a config field existed must resume:
+        missing keys take the live defaults (defined to reproduce the old
+        behavior), so they are not a semantic diff. Regression for the
+        round-2 loss-weight keys breaking round-1 checkpoints."""
+        import json
+
+        ckpt_dir = str(tmp_path / "ckpt")
+        half = dataclasses.replace(TINY, learning_stops=(6,))
+        loop_lib.train(half, checkpoint_dir=ckpt_dir)
+        # simulate an old checkpoint: strip a loss-weight key that defaults
+        # to behavior-preserving values from the stored config JSON
+        import glob
+        import os
+
+        (cfg_path,) = glob.glob(
+            os.path.join(ckpt_dir, "*", "config", "*.json")
+        ) or glob.glob(os.path.join(ckpt_dir, "*", "config*"))
+        if os.path.isdir(cfg_path):
+            inner = glob.glob(os.path.join(cfg_path, "*"))
+            cfg_path = inner[0]
+        stored = json.loads(open(cfg_path).read())
+        for key in ("absolute_error", "relative_error", "error_floor_quantile"):
+            stored["loss_weights"].pop(key, None)
+        open(cfg_path, "w").write(json.dumps(stored))
+        # resume with identical live hparams must succeed
+        _, params, _ = loop_lib.train(TINY, checkpoint_dir=ckpt_dir)
+        assert params is not None
+
     def test_empty_eval_split_raises(self):
         """frac_training=1 must raise instead of yielding NaN eval metrics."""
         eq = equations.from_name(TINY.equation, conservative=True)
@@ -366,6 +395,53 @@ class TestLegacy2DH5:
         assert snaps2.u.shape == (2, 6, 64)
         with pytest.raises(ValueError, match="does not divide"):
             load_snapshots_h5(path, num_trajectories=5)
+
+    def test_flat_times_shared_window_ok(self, tmp_path):
+        import h5py
+
+        path = str(tmp_path / "legacy.h5")
+        self._write_legacy(path, num_trajectories=3)
+        with h5py.File(path, "a") as f:
+            # 12 flat times = 3 trajectories x 4 times, all sharing a window
+            f.create_dataset("times", data=np.tile(0.5 * np.arange(4), 3))
+        snaps, _, _ = load_snapshots_h5(path)
+        assert snaps.times.shape == (4,) and not snaps.synthetic_times
+        np.testing.assert_allclose(np.asarray(snaps.times), 0.5 * np.arange(4))
+
+    def test_flat_times_mismatched_windows_rejected(self, tmp_path):
+        """Rows that are segments of one long run (different spacings or a
+        differing window shape) must not silently get trajectory 0's times."""
+        import h5py
+
+        path = str(tmp_path / "legacy.h5")
+        self._write_legacy(path, num_trajectories=3)
+        with h5py.File(path, "a") as f:
+            # one continuous ramp with non-uniform spacing across rows
+            f.create_dataset("times", data=np.arange(12.0) ** 1.5)
+        with pytest.raises(ValueError, match="shared time window"):
+            load_snapshots_h5(path)
+
+    def test_flat_times_shifted_segments_warn(self, tmp_path):
+        import h5py
+
+        path = str(tmp_path / "legacy.h5")
+        self._write_legacy(path, num_trajectories=3)
+        with h5py.File(path, "a") as f:
+            # equal spacing but consecutive start times (one long run)
+            f.create_dataset("times", data=0.5 * np.arange(12.0))
+        with pytest.warns(UserWarning, match="differing start times"):
+            snaps, _, _ = load_snapshots_h5(path)
+        assert snaps.times.shape == (4,)
+
+    def test_bogus_times_length_rejected(self, tmp_path):
+        import h5py
+
+        path = str(tmp_path / "legacy.h5")
+        self._write_legacy(path, num_trajectories=3)
+        with h5py.File(path, "a") as f:
+            f.create_dataset("times", data=np.arange(7.0))
+        with pytest.raises(ValueError, match="'times' has length 7"):
+            load_snapshots_h5(path)
 
     def test_synthetic_times_refuse_unrolled_training(self, tmp_path):
         path = str(tmp_path / "legacy.h5")
