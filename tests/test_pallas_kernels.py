@@ -128,6 +128,7 @@ class TestFusedLearnedRK4:
 
     @pytest.mark.parametrize("name,cons,size", [
         ("ks", True, 6), ("ks", False, 7), ("kdv", True, 6),
+        ("ks", True, 8),  # the round-2 recipe / flagship-checkpoint width
     ])
     def test_matches_xla_rollout(self, name, cons, size):
         eq, grid, model, params, dt, u0 = _learned_setup(name, cons, size)
