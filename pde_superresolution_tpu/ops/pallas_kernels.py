@@ -607,7 +607,9 @@ def make_fused_learned_rk4(
         # rows, the five RK4 state/stage vectors, and — forced — the 5
         # forcing tiles plus (sin, cos) carries and rotation temporaries.
         # A 1.5x safety factor covers Mosaic temporaries; 16 MiB floor.
-        n_forcing_rows = sum(int(ft.shape[1]) for ft in ftiles) * 7 // 5
+        # 5 input tiles + the (sin, cos) fori_loop carries = 7 [terms, n]
+        # forcing tiles live at once
+        n_forcing_rows = 7 * int(ftiles[0].shape[1]) if ftiles else 0
         bytes_per_lane = (
             4 * (n_taps + 3 * weights[0].shape[0] + s_tot + f_tot + 8)
             + 2 * (2 * kernel_size * weights[0].shape[0])
