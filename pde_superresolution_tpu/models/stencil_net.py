@@ -223,6 +223,7 @@ class StencilModel:
         interpret: bool = False,
         forcing: Optional[ForcingParams] = None,
         t0: float = 0.0,
+        mesh: Optional[jax.sharding.Mesh] = None,
     ):
         """Whole ``num_steps``-step RK4 advance of the learned model in ONE
         Mosaic kernel (ops/pallas_kernels.make_fused_learned_rk4): conv
@@ -238,6 +239,18 @@ class StencilModel:
         ``rhs_fn`` + ``integrate.rk4_step`` path is to float tolerance
         (same math, different op grouping; the constraint projection runs
         HIGHEST precision in both).
+
+        ``mesh`` composes the kernel with DATA PARALLELISM: the advance is
+        wrapped in ``jax.shard_map`` over the mesh's "data" axis — each
+        shard invokes the Mosaic kernel on its local trajectory batch
+        (params and t replicated, forcing batch-sharded), with ZERO
+        cross-shard communication (pure DP needs none). This is how the
+        fused hot loop runs on a multi-chip ensemble: GSPMD cannot
+        partition a Mosaic custom call through a sharded jit, but under
+        shard_map the kernel only ever sees its shard. The global batch
+        must divide by the data-axis size, and the per-shard batch by
+        ``batch_tile``. Any other mesh axis (e.g. "space") is unused and
+        must have size 1.
         """
         from pde_superresolution_tpu.ops import pallas_kernels as pk
 
@@ -270,10 +283,52 @@ class StencilModel:
             interpret=interpret,
         )
 
-        def advance(u: jnp.ndarray, t=None) -> jnp.ndarray:
-            """Advance num_steps RK4 steps from time ``t`` (default: the
-            ``t0`` this closure was built with). ``t`` may be traced, so the
-            advance can sit inside a lax.scan over trajectory segments."""
-            return fused(u, params, forcing, t0 if t is None else t)
+        if mesh is None:
 
-        return advance
+            def advance(u: jnp.ndarray, t=None) -> jnp.ndarray:
+                """Advance num_steps RK4 steps from time ``t`` (default: the
+                ``t0`` this closure was built with). ``t`` may be traced, so
+                the advance can sit inside a lax.scan over trajectory
+                segments."""
+                return fused(u, params, forcing, t0 if t is None else t)
+
+            return advance
+
+        from jax.sharding import PartitionSpec as P
+
+        from pde_superresolution_tpu.parallel.mesh import DATA_AXIS
+
+        if DATA_AXIS not in mesh.axis_names:
+            raise ValueError(
+                f"mesh axes {mesh.axis_names} lack a '{DATA_AXIS}' axis"
+            )
+        other = {
+            ax: n for ax, n in mesh.shape.items() if ax != DATA_AXIS and n > 1
+        }
+        if other:
+            raise ValueError(
+                "fused-kernel DP shards the trajectory batch only; mesh "
+                f"axes {other} must have size 1 (the kernel needs the whole "
+                "grid in one shard)"
+            )
+        # explicit args (not closure capture) so shard_map sees the
+        # replicated params / batch-sharded forcing specs. check_vma=False:
+        # pallas_call's out_shape carries no varying-mesh-axes annotation,
+        # which the replication checker requires; the check buys nothing
+        # here — the body is collective-free (pure DP), so every output
+        # trivially varies exactly over the data axis as declared.
+        sharded = jax.shard_map(
+            lambda u, p, f, t: fused(u, p, f, t),
+            mesh=mesh,
+            in_specs=(P(DATA_AXIS), P(), P(DATA_AXIS), P()),
+            out_specs=P(DATA_AXIS),
+            check_vma=False,
+        )
+
+        def advance_dp(u: jnp.ndarray, t=None) -> jnp.ndarray:
+            return sharded(
+                u, params, forcing,
+                jnp.asarray(t0 if t is None else t, jnp.float32),
+            )
+
+        return advance_dp

@@ -49,6 +49,12 @@ from pde_superresolution_tpu.grids import Grid
 
 LANE = 128
 SUBLANE = 8
+# v5e physical VMEM. A Mosaic compile whose scoped-VMEM request exceeds it
+# does NOT fail cleanly: it can hang and wedge the chip for ~40 min
+# (DECISIONS.md #15, observed 2026-08-17 with a filters=64 whole-batch
+# tile). Kernels must pre-screen their estimate against this budget and
+# refuse BEFORE compiling.
+PHYSICAL_VMEM_BYTES = 128 * 1024 * 1024
 
 
 def _roll(u, shift: int, axis: int = 1):
@@ -618,6 +624,15 @@ def make_fused_learned_rk4(
         vmem_bytes = int(
             16 * 1024 * 1024 + 1.5 * bytes_per_lane * n
         )
+        if not interpret and vmem_bytes > PHYSICAL_VMEM_BYTES:
+            # refuse BEFORE compiling: an over-budget Mosaic compile can
+            # hang and wedge the chip rather than fail cleanly (the
+            # batch-tile fallback ladders rely on this raise to step down)
+            raise ValueError(
+                f"fused learned RK4 at batch_tile={tb}, nx={nx} needs "
+                f"~{vmem_bytes >> 20} MiB VMEM > {PHYSICAL_VMEM_BYTES >> 20}"
+                " MiB physical; use a smaller batch_tile"
+            )
         out = pl.pallas_call(
             lambda *refs: kernel(
                 refs[0].at[0],

@@ -43,8 +43,11 @@ flags.DEFINE_enum(
 flags.DEFINE_integer(
     "data_parallel", 0,
     "shard the ensemble (warmup + integration) over this many devices of a "
-    "('data',) mesh; 0 = single device. Uses the XLA scan path (the Mosaic "
-    "kernel is a custom call GSPMD cannot partition).")
+    "('data',) mesh; 0 = single device. Composes with --fused: the Mosaic "
+    "kernel is wrapped in shard_map over the data axis (each device runs "
+    "the kernel on its local batch; pure DP needs no cross-shard comm). "
+    "The XLA-scan fallback runs GSPMD-sharded with the Pallas per-step RHS "
+    "disabled (GSPMD cannot partition a Mosaic custom call).")
 
 
 def main(argv):
@@ -57,6 +60,7 @@ def main(argv):
     key, k_f = jax.random.split(jax.random.PRNGKey(FLAGS.seed))
     u0 = FLAGS.ic_scale * equation.initial_conditions(key, coarse, (n,))
     forcing = equation.sample_forcing(k_f, (n,))  # None for unforced eqs
+    mesh = None
     if FLAGS.data_parallel:
         # DP over the trajectory axis: GSPMD shards the warmup spectral
         # solve and the XLA-scan integration with zero code changes below
@@ -99,20 +103,20 @@ def main(argv):
             "integrator drives single RK4 steps (drop one of the two flags)"
         )
     fused_tiles = []
-    if FLAGS.data_parallel and FLAGS.fused == "true":
-        raise ValueError(
-            "--fused=true conflicts with --data_parallel: the Mosaic kernel "
-            "is a custom call GSPMD cannot partition"
-        )
-    if (FLAGS.fused != "false" and not FLAGS.output_path
-            and not FLAGS.data_parallel):
+    if FLAGS.fused != "false" and not FLAGS.output_path:
         # whole-interval Mosaic kernel: every RK4 step between snapshots
         # stays in VMEM (models.StencilModel.fused_rk4_fn); in-kernel
-        # rotated-phase forcing for forced equations. Larger batch tiles are
-        # faster; a tile that overflows VMEM fails AOT compile and the next
-        # one is tried (then the XLA scan, unless --fused=true).
+        # rotated-phase forcing for forced equations. Under --data_parallel
+        # the kernel runs per shard via shard_map (fused_rk4_fn(mesh=...)),
+        # so the tiles must divide the PER-DEVICE batch. Larger batch tiles
+        # are faster; a tile whose VMEM estimate exceeds the physical
+        # budget is refused before compiling (pallas_kernels pre-screens —
+        # an over-budget Mosaic compile can wedge the chip rather than fail
+        # cleanly), and the next one is tried (then the XLA scan, unless
+        # --fused=true).
+        local_n = n // FLAGS.data_parallel if FLAGS.data_parallel else n
         fused_tiles = [
-            tb for tb in (256, 128, 64, 32, 16, 8) if n % tb == 0
+            tb for tb in (256, 128, 64, 32, 16, 8) if local_n % tb == 0
         ]
         supported = (
             jax.default_backend() == "tpu"
@@ -122,11 +126,17 @@ def main(argv):
         if not supported:
             if FLAGS.fused == "true":
                 raise ValueError(
-                    f"--fused=true but shapes ({n}, {coarse.size}) don't "
-                    "tile or backend is not TPU"
+                    f"--fused=true but shapes ({local_n}, {coarse.size}) "
+                    "don't tile or backend is not TPU"
                 )
             fused_tiles = []
-    rhs = model.rhs_fn(params, forcing)
+    # The XLA-scan/resumable paths: under DP the per-step Pallas RHS must be
+    # OFF — it would lower a Mosaic custom call inside the GSPMD-sharded
+    # jit, which GSPMD cannot partition (the sharded fused path above goes
+    # through shard_map instead).
+    rhs = model.rhs_fn(
+        params, forcing, use_pallas=False if FLAGS.data_parallel else None
+    )
 
     # NOTE: t0 is the PHYSICAL start time (warmup end) — the forcing phase
     # must continue across the warmup handoff. Keep the wall-clock timer in
@@ -152,7 +162,8 @@ def main(argv):
         for tile in fused_tiles:
             try:
                 adv = model.fused_rk4_fn(
-                    params, dt, save_every, batch_tile=tile, forcing=forcing
+                    params, dt, save_every, batch_tile=tile, forcing=forcing,
+                    mesh=mesh,
                 )
                 compiled = jax.jit(
                     lambda u, a=adv: integrate.integrate_fused(

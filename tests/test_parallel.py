@@ -278,6 +278,95 @@ class TestGSPMDAutoSharding:
             np.testing.assert_allclose(np.asarray(a), np.asarray(b), rtol=1e-4, atol=1e-6)
 
 
+class TestFusedKernelDP:
+    """The fused learned-RK4 Mosaic kernel composed with data parallelism
+    via shard_map (interpret mode on the virtual mesh): each shard invokes
+    the kernel on its local trajectory batch, zero cross-shard comm. This is
+    the path `run_ensemble --fused --data_parallel` takes on a real pod."""
+
+    def _setup(self, name, cons, batch):
+        eq = equations.from_name(name, conservative=cons)
+        grid = Grid(8 * 128, eq.period).resample(8, conservative=cons)
+        model = StencilModel(eq, grid, ModelConfig(stencil_size=6))
+        params = jax.tree.map(
+            lambda leaf: leaf
+            + 0.05 * jax.random.normal(jax.random.PRNGKey(1), leaf.shape),
+            model.init_params(jax.random.PRNGKey(0)),
+        )
+        dt = eq.stable_time_step(grid, u_scale=3.0)
+        u0 = eq.initial_conditions(jax.random.PRNGKey(2), grid, (batch,))
+        return eq, model, params, dt, u0
+
+    def test_matches_unsharded_kernel(self):
+        eq, model, params, dt, u0 = self._setup("ks", True, 32)
+        mesh = parallel.make_mesh(data=4)
+        want = np.asarray(
+            model.fused_rk4_fn(params, dt, 2, batch_tile=8, interpret=True)(u0)
+        )
+        adv = model.fused_rk4_fn(
+            params, dt, 2, batch_tile=8, interpret=True, mesh=mesh
+        )
+        u0_sh = jax.device_put(u0, NamedSharding(mesh, P("data")))
+        got = np.asarray(jax.jit(adv)(u0_sh))
+        np.testing.assert_allclose(got, want, rtol=1e-5, atol=1e-6)
+
+    def test_forced_matches_unsharded(self):
+        """Burgers: the batch-sharded forcing params reach each shard's
+        kernel (phase tiles built per shard) and t stays replicated."""
+        eq, model, params, dt, u0 = self._setup("burgers", True, 32)
+        forcing = eq.sample_forcing(jax.random.PRNGKey(3), (32,))
+        mesh = parallel.make_mesh(data=4)
+        want = np.asarray(
+            model.fused_rk4_fn(
+                params, dt, 2, batch_tile=8, interpret=True,
+                forcing=forcing, t0=0.37,
+            )(u0)
+        )
+        adv = model.fused_rk4_fn(
+            params, dt, 2, batch_tile=8, interpret=True,
+            forcing=forcing, t0=0.0, mesh=mesh,
+        )
+        u0_sh = jax.device_put(u0, NamedSharding(mesh, P("data")))
+        got = np.asarray(jax.jit(lambda u: adv(u, 0.37))(u0_sh))
+        np.testing.assert_allclose(got, want, rtol=1e-5, atol=1e-6)
+
+    def test_integrate_fused_under_mesh(self):
+        """integrate_fused's scan over shard_map'd kernel advances (the
+        exact run_ensemble composition) == the unsharded XLA-scan result."""
+        eq, model, params, dt, u0 = self._setup("ks", True, 32)
+        mesh = parallel.make_mesh(data=4)
+        rhs = model.rhs_fn(params, use_pallas=False)
+        want_times, want = integrate.integrate(rhs, u0, dt, 4, 2)
+        adv = model.fused_rk4_fn(
+            params, dt, 2, batch_tile=8, interpret=True, mesh=mesh
+        )
+        u0_sh = jax.device_put(u0, NamedSharding(mesh, P("data")))
+        got_times, got = jax.jit(
+            lambda u: integrate.integrate_fused(adv, u, dt, 4, 2)
+        )(u0_sh)
+        np.testing.assert_allclose(
+            np.asarray(got_times), np.asarray(want_times), rtol=1e-6
+        )
+        err = np.abs(np.asarray(got) - np.asarray(want)).max()
+        assert err < 2e-3 * np.abs(np.asarray(want)).max(), err
+
+    def test_space_axis_rejected(self):
+        eq, model, params, dt, u0 = self._setup("ks", True, 32)
+        mesh = parallel.make_mesh(data=4, space=2)
+        with pytest.raises(ValueError, match="size 1"):
+            model.fused_rk4_fn(
+                params, dt, 2, batch_tile=8, interpret=True, mesh=mesh
+            )
+
+    def test_missing_data_axis_rejected(self):
+        eq, model, params, dt, u0 = self._setup("ks", True, 32)
+        mesh = jax.sharding.Mesh(np.asarray(jax.devices()[:4]), ("model",))
+        with pytest.raises(ValueError, match="data"):
+            model.fused_rk4_fn(
+                params, dt, 2, batch_tile=8, interpret=True, mesh=mesh
+            )
+
+
 class TestDPxSPTraining:
     def test_2d_mesh_training_matches_single_device(self):
         """Full train() over a (data=2, space=2) mesh == single-device."""
