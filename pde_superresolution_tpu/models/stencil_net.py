@@ -178,9 +178,11 @@ class StencilModel:
             no longer reproduces (scripts_dev/repro_forcing_hang.py, all
             rungs PASS on 2026-08-16; stress-tested 30 launches + scan) —
             DECISIONS.md #15 has the history.
-            FORWARD-ONLY: the kernel has no differentiation rule — under
-            jax.grad (e.g. the unrolled training loss) pass
-            use_pallas=False explicitly.
+            DIFFERENTIABLE (round 3): the fused RHS carries a custom_vjp
+            whose backward is the XLA twin's linearization at the same
+            primal point (pallas_kernels.make_fused_rhs), so this closure
+            is safe under jax.grad — the unrolled training loss uses the
+            kernel forward directly.
         """
         if use_pallas is None:
             use_pallas = jax.default_backend() == "tpu"

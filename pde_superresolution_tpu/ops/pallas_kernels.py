@@ -135,8 +135,8 @@ def make_fused_rhs(
             u_t = u_t + f_ref[...]
         out_ref[...] = u_t
 
-    def rhs(u: jnp.ndarray, coeffs: Mapping[int, jnp.ndarray],
-            f: Optional[jnp.ndarray] = None) -> jnp.ndarray:
+    def kernel_call(u: jnp.ndarray, coeffs: Mapping[int, jnp.ndarray],
+                    f: Optional[jnp.ndarray]) -> jnp.ndarray:
         batch, nx = u.shape
         if not kernel_supported(batch, nx):
             raise ValueError(
@@ -175,6 +175,46 @@ def make_fused_rhs(
             ),
             interpret=interpret,
         )(*inputs)
+
+    def xla_twin(u, coeffs, f):
+        """The same math in plain XLA — the kernel's differentiation twin."""
+        derivs = {
+            d: stencils.apply_stencil(u, coeffs[d], offsets_map[d], shift)
+            for d in orders
+        }
+        if conservative:
+            flux = equation.flux(derivs)
+            u_t = -(flux - jnp.roll(flux, 1, axis=-1)) / dx
+        else:
+            u_t = equation.equation_of_motion(u, derivs)
+        if forced:
+            u_t = u_t + f
+        return u_t
+
+    # Differentiable wrapper (SURVEY §7 stages 4+6: the training rollout is
+    # the same hot loop). The Mosaic kernel has no differentiation rule, so
+    # the VJP is the XLA twin's: forward runs the kernel, backward
+    # linearizes the twin at the same primal point — identical math modulo
+    # accumulation order (the two agree to float tolerance), so the
+    # gradients match the pure-XLA path's to the same tolerance. Residuals
+    # are just the primal inputs; under jax.checkpoint the kernel (not the
+    # twin) is what re-runs in the rematerialized forward.
+    @jax.custom_vjp
+    def rhs_grad(u, coeffs, f):
+        return kernel_call(u, coeffs, f)
+
+    def rhs_fwd(u, coeffs, f):
+        return kernel_call(u, coeffs, f), (u, coeffs, f)
+
+    def rhs_bwd(res, g):
+        _, vjp = jax.vjp(xla_twin, *res)
+        return vjp(g)
+
+    rhs_grad.defvjp(rhs_fwd, rhs_bwd)
+
+    def rhs(u: jnp.ndarray, coeffs: Mapping[int, jnp.ndarray],
+            f: Optional[jnp.ndarray] = None) -> jnp.ndarray:
+        return rhs_grad(u, dict(coeffs), f)
 
     return rhs
 

@@ -195,6 +195,7 @@ def compute_loss(
     dt: float,
     unroll_steps: int,
     substeps: int = 1,
+    use_pallas: bool = False,
 ) -> tuple[jnp.ndarray, dict]:
     """Total weighted loss + per-target breakdown for logging. Jit-able.
 
@@ -244,11 +245,18 @@ def compute_loss(
     loss = loss + weights.time_derivative * part
 
     if unroll_steps > 0 and weights.integrated_solution > 0:
-        # use_pallas=False is load-bearing: this rollout sits under
-        # jax.grad, and the Mosaic kernel path has no differentiation rule
-        # (with a tileable coarse grid the TPU default would crash training
-        # with "Differentiation rule for 'roll' not implemented")
-        rhs = model.rhs_fn(params, forcing, use_pallas=False)
+        # This rollout sits under jax.grad. Since round 3 the fused Pallas
+        # RHS carries a custom_vjp (backward = the XLA twin's vjp,
+        # pallas_kernels.make_fused_rhs), so use_pallas=True is SAFE here
+        # — but measured on v5e it is not faster (flagship recipe,
+        # unroll-16/stencil-8: 17.8 vs 16.4 ms/step at batch 128, 67.7 vs
+        # 69.5 at batch 512 — the kernel fuses the part of the RHS that is
+        # already nearly free next to the conv tower, and per-stage launch
+        # overhead eats the gain; a whole-chunk fused forward measured
+        # WORSE, 94.5 vs 71.0 ms, and loses the per-inner-step divergence
+        # clip). The XLA rollout therefore stays the default training
+        # path; the knob exists for future shapes where the balance flips.
+        rhs = model.rhs_fn(params, forcing, use_pallas=use_pallas)
         # substeps decouple the snapshot spacing from the coarse CFL limit:
         # comparisons happen only every `substeps` inner RK4 steps, so the
         # rollout stays inside the stable region regardless of how the data

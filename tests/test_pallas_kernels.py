@@ -63,6 +63,70 @@ class TestFusedRHS:
         ) + np.asarray(f)
         np.testing.assert_allclose(got, want, rtol=1e-3, atol=1e-4)
 
+    @pytest.mark.parametrize("name,cons", [("ks", True), ("kdv", False)])
+    def test_grad_matches_xla_twin(self, name, cons):
+        """The custom_vjp: gradients through the kernel == gradients through
+        the pure-XLA model path (the backward IS the XLA twin's vjp, so
+        agreement is to the forward paths' float tolerance)."""
+        eq = equations.from_name(name, conservative=cons)
+        grid = Grid(NX, eq.period)
+        model = StencilModel(
+            eq, grid, ModelConfig(num_layers=2, filters=8,
+                                  stencil_size=6 if cons else 7)
+        )
+        params = jax.tree.map(
+            lambda leaf: 0.05 * jax.random.normal(jax.random.PRNGKey(0), leaf.shape),
+            model.init_params(jax.random.PRNGKey(0)),
+        )
+        u = eq.initial_conditions(jax.random.PRNGKey(1), grid, (BATCH,))
+        coeffs = model.coefficients(params, u)
+        g = jax.random.normal(jax.random.PRNGKey(2), u.shape)  # cotangent
+
+        offsets_map = {
+            d: layer.offsets for d, layer in model.constraint_layers.items()
+        }
+        rhs = pk.make_fused_rhs(
+            eq, grid, offsets_map, model._shift, forced=False, interpret=True
+        )
+
+        def loss_kernel(u, coeffs):
+            return jnp.sum(rhs(u, coeffs) * g)
+
+        def loss_xla(u, coeffs):
+            derivs = {
+                d: stencils.apply_stencil(u, coeffs[d], offsets_map[d],
+                                          model._shift)
+                for d in coeffs
+            }
+            return jnp.sum(eq.time_derivative(u, derivs, grid) * g)
+
+        du_k, dc_k = jax.grad(loss_kernel, argnums=(0, 1))(u, coeffs)
+        du_x, dc_x = jax.grad(loss_xla, argnums=(0, 1))(u, coeffs)
+        np.testing.assert_allclose(
+            np.asarray(du_k), np.asarray(du_x), rtol=1e-4, atol=1e-5
+        )
+        for d in dc_k:
+            np.testing.assert_allclose(
+                np.asarray(dc_k[d]), np.asarray(dc_x[d]), rtol=1e-4, atol=1e-5
+            )
+
+    def test_grad_forced_includes_forcing_cotangent(self):
+        eq = equations.from_name("burgers", conservative=True)
+        grid = Grid(NX, eq.period)
+        model = StencilModel(eq, grid, ModelConfig(num_layers=1, filters=4,
+                                                   stencil_size=4))
+        params = model.init_params(jax.random.PRNGKey(0))
+        u = eq.initial_conditions(jax.random.PRNGKey(1), grid, (BATCH,))
+        coeffs = model.coefficients(params, u)
+        f = jax.random.normal(jax.random.PRNGKey(2), u.shape)
+        offsets_map = {d: l.offsets for d, l in model.constraint_layers.items()}
+        rhs = pk.make_fused_rhs(eq, grid, offsets_map, model._shift,
+                                forced=True, interpret=True)
+        df = jax.grad(lambda ff: jnp.sum(rhs(u, coeffs, ff)))(f)
+        # u_t = ... + f, so d(sum u_t)/df == 1 everywhere
+        np.testing.assert_allclose(np.asarray(df), np.ones_like(np.asarray(df)),
+                                   rtol=1e-6)
+
     def test_unsupported_shape_raises(self):
         eq = equations.from_name("ks", conservative=True)
         grid = Grid(100, eq.period)
@@ -248,9 +312,10 @@ class TestOnTPU:
         assert err < 1e-4, err
 
     def test_training_grad_with_tileable_grid(self):
-        """Regression: with a 128-multiple coarse grid the TPU-default
-        Pallas RHS is non-differentiable; the unrolled loss must force the
-        XLA path or jax.grad dies with 'Differentiation rule for roll'."""
+        """With a 128-multiple coarse grid, the unrolled loss under
+        jax.grad on the default (XLA-rollout) path. Historical regression
+        guard: before the round-3 custom_vjp, accidentally enabling the
+        Pallas RHS here died with 'Differentiation rule for roll'."""
         from pde_superresolution_tpu.training import LossWeights
         from pde_superresolution_tpu.training import data as data_lib
         from pde_superresolution_tpu.training import losses as loss_lib
@@ -281,6 +346,51 @@ class TestOnTPU:
         loss, grads = jax.jit(jax.value_and_grad(f))(params)
         assert np.isfinite(float(loss))
         assert all(np.isfinite(np.asarray(g)).all() for g in jax.tree.leaves(grads))
+
+    def test_training_grads_via_pallas_match_xla(self):
+        """compute_loss(use_pallas=True): the unrolled rollout's forward
+        runs the fused Mosaic RHS and its backward the custom_vjp (XLA-twin
+        linearization) — gradients must match the pure-XLA path on chip."""
+        from pde_superresolution_tpu.training import LossWeights
+        from pde_superresolution_tpu.training import data as data_lib
+        from pde_superresolution_tpu.training import losses as loss_lib
+
+        eq, grid, model, params, dt, u0 = _learned_setup("ks", True, 6, batch=8)
+        u0 = 0.3 * u0
+        key = jax.random.PRNGKey(1)
+        dataset = data_lib.TrainingData(
+            inputs=u0,
+            t=jnp.zeros((8,)),
+            forcing=None,
+            deriv_labels={
+                d: jax.random.normal(jax.random.fold_in(key, d), u0.shape)
+                for d in eq.derivative_orders
+            },
+            time_deriv_label=jax.random.normal(jax.random.fold_in(key, 9), u0.shape),
+            rollout=jnp.tile(u0[:, None], (1, 2, 1)),
+        )
+        norms = loss_lib.compute_loss_norms(model, dataset, 2, dt, substeps=2)
+
+        def make(use_pallas):
+            def f(p):
+                loss, _ = loss_lib.compute_loss(
+                    model, p, dataset, norms, LossWeights(), dt=dt,
+                    unroll_steps=2, substeps=2, use_pallas=use_pallas,
+                )
+                return loss
+            return jax.jit(jax.value_and_grad(f))
+
+        loss_x, grads_x = make(False)(params)
+        loss_p, grads_p = make(True)(params)
+        assert np.isfinite(float(loss_p))
+        np.testing.assert_allclose(float(loss_p), float(loss_x), rtol=1e-4)
+        # compare against the GLOBAL gradient scale: near-zero-gradient
+        # leaves carry float noise at ~1e-7 that a per-leaf relative test
+        # would misread as disagreement
+        leaves_x = [np.asarray(b) for b in jax.tree.leaves(grads_x)]
+        scale = max(np.abs(b).max() for b in leaves_x)
+        for a, b in zip(jax.tree.leaves(grads_p), leaves_x):
+            assert np.abs(np.asarray(a) - b).max() / scale < 1e-3, (a, b)
 
     def test_forced_fused_learned_rk4_matches_xla(self):
         """Multi-step forced Burgers: in-kernel phase rotation vs XLA."""
