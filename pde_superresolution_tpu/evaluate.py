@@ -21,6 +21,7 @@ chaotic systems (KS) and degrades gracefully for Burgers/KdV.
 from __future__ import annotations
 
 import typing
+import warnings
 from typing import Callable, Mapping, Optional
 
 import h5py
@@ -107,7 +108,9 @@ def evaluate(
         conservative and non-conservative schemes in one call compares the
         odd one out against the other family's coarse-graining (a half-cell
         interpretation mismatch). Run two evaluations to compare across
-        families fairly.
+        families fairly. Enforced at runtime: rhs closures built by the
+        library carry a ``.conservative`` family tag and a mismatch raises
+        a UserWarning.
       coarse_dt: coarse integrator step; defaults to an integer subdivision
         of ``time_delta`` near the equation's stable step.
     """
@@ -151,6 +154,22 @@ def evaluate(
     trajectories, mae, corr_d, surv = {}, {}, {}, {}
     for name, factory in schemes.items():
         rhs = factory(forcing)
+        # family check (the docstring's coarse-graining hazard, enforced at
+        # runtime): rhs_fn closures carry a .conservative tag; a scheme of
+        # the other family is being compared against this family's
+        # coarse-graining — a half-cell interpretation mismatch.
+        family = getattr(rhs, "conservative", None)
+        if family is not None and family != equation.conservative:
+            warnings.warn(
+                f"scheme {name!r} is a "
+                f"{'conservative (cell-average)' if family else 'non-conservative (point-value)'}"
+                f" scheme but the evaluation coarse-graining follows the "
+                f"{'conservative' if equation.conservative else 'non-conservative'}"
+                " equation — its initial conditions and exact reference are"
+                " half a cell off. Run a separate evaluation for this"
+                " scheme's family.",
+                stacklevel=2,
+            )
         _, traj = integrate.integrate(
             rhs,
             u0_coarse,

@@ -70,6 +70,10 @@ class Differentiator:
                 u, self.derivatives(u), self.grid, t, forcing
             )
 
+        # family tag: lets evaluate() warn when a conservative (cell-
+        # average) scheme is compared under a point-sample coarse-graining
+        # or vice versa (a silent half-cell interpretation mismatch)
+        rhs.conservative = self.equation.conservative
         return rhs
 
 
@@ -103,6 +107,10 @@ class SpectralDifferentiator(Differentiator):
             }
             return equation.time_derivative(u, derivs, grid, t, forcing)
 
+        # tag with the ORIGINAL equation's family: spectral derivatives are
+        # exact so the scheme itself is family-agnostic, but the caller's
+        # intended coarse-graining is the original equation's
+        rhs.conservative = self.equation.conservative
         return rhs
 
 

@@ -190,6 +190,7 @@ class StencilModel:
             def rhs(u, t):
                 return self.time_derivative(params, u, t, forcing)
 
+            rhs.conservative = self.equation.conservative
             return rhs
 
         from pde_superresolution_tpu.equations import forcing_term
@@ -214,6 +215,7 @@ class StencilModel:
                 return fused(u, coeffs, jnp.broadcast_to(f, u.shape))
             return fused(u, coeffs)
 
+        rhs.conservative = self.equation.conservative
         return rhs
 
     def fused_rk4_fn(

@@ -34,6 +34,12 @@ flags.DEFINE_float("correlation_threshold", 0.8,
                    "survival-time correlation threshold")
 flags.DEFINE_integer("seed", 0, "evaluation seed")
 flags.DEFINE_float("ic_scale", 1.0, "initial-condition amplitude")
+flags.DEFINE_integer(
+    "baseline_stencil_size", 0,
+    "taps in the classic polynomial-baseline stencils; 0 (default) = the "
+    "model's own stencil width, so 'beats the baseline' always means "
+    "'beats classic stencils of equal width' (a narrower baseline can be "
+    "the unstable one, flattering the model)")
 
 
 def main(argv):
@@ -43,10 +49,11 @@ def main(argv):
     fine = Grid(config.fine_size, equation.period)
     coarse = model.grid
 
+    baseline_size = FLAGS.baseline_stencil_size or model.config.stencil_size
     schemes = {
         "model": lambda forcing: model.rhs_fn(params, forcing),
         "baseline": lambda forcing: integrate.PolynomialDifferentiator(
-            equation, coarse
+            equation, coarse, stencil_size=baseline_size
         ).rhs_fn(forcing),
     }
     if equation.name == "burgers":

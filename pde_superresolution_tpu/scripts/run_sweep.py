@@ -31,6 +31,12 @@ flags.DEFINE_string("output_path", None, "optional JSONL results path")
 flags.DEFINE_integer("num_eval_samples", 16, "eval ensemble size")
 flags.DEFINE_float("eval_time_max", 3.0, "eval horizon")
 flags.DEFINE_float("eval_warmup", 0.0, "eval warmup (KS: ~40)")
+flags.DEFINE_integer(
+    "baseline_stencil_size", 0,
+    "taps in the classic polynomial-baseline stencils; 0 (default) = the "
+    "model's own stencil width, so 'beats the baseline' always means "
+    "'beats classic stencils of equal width' (a narrower baseline can be "
+    "the unstable one, flattering the model)")
 
 
 def main(argv):
@@ -44,11 +50,15 @@ def main(argv):
         model, params, metrics = loop_lib.train(config)
         equation = model.equation
         fine = Grid(config.fine_size, equation.period)
+        baseline_size = (
+            FLAGS.baseline_stencil_size or model.config.stencil_size
+        )
         schemes = {
             "model": lambda forcing, m=model, p=params: m.rhs_fn(p, forcing),
-            "baseline": lambda forcing, m=model: integrate.PolynomialDifferentiator(
-                equation, m.grid
-            ).rhs_fn(forcing),
+            "baseline": lambda forcing, m=model, s=baseline_size:
+                integrate.PolynomialDifferentiator(
+                    equation, m.grid, stencil_size=s
+                ).rhs_fn(forcing),
         }
         if equation.name == "burgers":
             schemes["weno"] = lambda forcing, m=model: weno.WENODifferentiator(
@@ -66,7 +76,11 @@ def main(argv):
             warmup_time=FLAGS.eval_warmup,
             ic_scale=config.ic_scale,
         )
-        record = {"factor": factor, "eval_total": metrics.get("eval_total")}
+        record = {
+            "factor": factor,
+            "eval_total": metrics.get("eval_total"),
+            "baseline_stencil_size": baseline_size,
+        }
         for name in schemes:
             final = np.asarray(result.mae[name])[:, -1]
             finite = np.isfinite(final)

@@ -137,4 +137,5 @@ class WENODifferentiator(integrate.Differentiator):
                 u_t = u_t + forcing_term(forcing, x, t, eq.period, width)
             return u_t
 
+        rhs.conservative = eq.conservative  # family tag for evaluate()
         return rhs

@@ -124,3 +124,54 @@ class TestMAESurvival:
         np.testing.assert_allclose(np.asarray(got), [1.0])
         got = evaluate.survival_time_from_mae(mae, times, 1.0)
         np.testing.assert_allclose(np.asarray(got), [3.0])
+
+
+class TestFamilyWarning:
+    """evaluate() warns when a scheme's family tag disagrees with the
+    coarse-graining family (the half-cell interpretation hazard)."""
+
+    def _run(self, eq_eval, scheme_eq):
+        import pytest
+
+        fine = Grid(64, eq_eval.period)
+
+        def factory(forcing):
+            return integrate.PolynomialDifferentiator(
+                scheme_eq, fine.resample(2, conservative=scheme_eq.conservative)
+            ).rhs_fn(forcing)
+
+        return lambda: evaluate.evaluate(
+            eq_eval, fine, 2, {"s": factory},
+            key=jax.random.PRNGKey(0), num_samples=1,
+            time_max=0.1, time_delta=0.05, ic_scale=0.1,
+        )
+
+    def test_mixed_family_warns(self):
+        import pytest
+
+        eq_cons = equations.from_name("ks", conservative=True)
+        eq_fd = equations.from_name("ks", conservative=False)
+        with pytest.warns(UserWarning, match="half a cell"):
+            self._run(eq_cons, eq_fd)()
+
+    def test_matched_family_silent(self):
+        import warnings
+
+        eq = equations.from_name("ks", conservative=True)
+        with warnings.catch_warnings():
+            warnings.simplefilter("error", UserWarning)
+            self._run(eq, eq)()
+
+    def test_untagged_scheme_tolerated(self):
+        import warnings
+
+        eq = equations.from_name("ks", conservative=True)
+        fine = Grid(64, eq.period)
+        with warnings.catch_warnings():
+            warnings.simplefilter("error", UserWarning)
+            evaluate.evaluate(
+                eq, fine, 2,
+                {"raw": lambda f: (lambda u, t: -u)},
+                key=jax.random.PRNGKey(0), num_samples=1,
+                time_max=0.1, time_delta=0.05, ic_scale=0.1,
+            )
