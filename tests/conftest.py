@@ -29,12 +29,23 @@ if not os.environ.get("PDE_TPU_TESTS"):
     # problem sizes are already tiny). The env var (not just jax.config)
     # makes the subprocess tests (test_scripts, test_graft_entry) share the
     # cache. Keyed by HLO + topology hash, so it is always safe to delete.
+    # The runtime cache (.cache/, gitignored) is populated from the
+    # COMMITTED seed (.cache_seed/jax) when empty, so a fresh clone's first
+    # run is warm while test-time additions never dirty the work tree.
+    repo_root = os.path.dirname(os.path.dirname(__file__))
     cache_dir = os.environ.setdefault(
         "JAX_COMPILATION_CACHE_DIR",
-        os.path.join(os.path.dirname(os.path.dirname(__file__)),
-                     ".cache", "jax"),
+        os.path.join(repo_root, ".cache", "jax"),
     )
     os.makedirs(cache_dir, exist_ok=True)
+    seed_dir = os.path.join(repo_root, ".cache_seed", "jax")
+    if os.path.isdir(seed_dir) and not os.listdir(cache_dir):
+        import shutil
+
+        for name in os.listdir(seed_dir):
+            shutil.copy2(
+                os.path.join(seed_dir, name), os.path.join(cache_dir, name)
+            )
 
     import jax
 
