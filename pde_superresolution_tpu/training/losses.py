@@ -21,6 +21,7 @@ the jitted loss as static floats.
 from __future__ import annotations
 
 import dataclasses
+import types
 import typing
 
 import jax
@@ -107,10 +108,12 @@ class LossNorms(typing.NamedTuple):
     per-target floors (the ``error_floor_quantile`` quantile of the
     baseline's pointwise |error|) for the relative-error form."""
 
-    derivs: dict  # {order: float}
+    derivs: typing.Mapping  # {order: float}
     time_deriv: float
     integrated: tuple  # per-unroll-step float
-    deriv_floors: dict = {}  # {order: float}
+    # immutable empty-mapping default: a literal ``{}`` here would be ONE
+    # shared dict across every LossNorms instance — a mutation foot-gun
+    deriv_floors: typing.Mapping = types.MappingProxyType({})  # {order: float}
     time_floor: float = 1e-7
     integrated_floors: tuple = ()
 

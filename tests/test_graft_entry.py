@@ -41,7 +41,9 @@ def test_dryrun_multichip_self_provisions_virtual_mesh():
 def test_dryrun_multichip_subprocess_fallback_when_backend_taken():
     """If the calling process has already initialized a too-small backend
     (the driver's axon process), the dry run must still succeed by
-    re-execing itself in a provisioned subprocess."""
+    re-execing itself in a provisioned subprocess. (light=True: this tests
+    the provisioning mechanics; the full program runs in the
+    self-provision test above.)"""
     code = (
         "import os\n"
         # Pin this outer process to exactly 1 CPU device and initialize it,
@@ -51,7 +53,7 @@ def test_dryrun_multichip_subprocess_fallback_when_backend_taken():
         "jax.config.update('jax_platforms', 'cpu')\n"
         "assert len(jax.devices()) == 1\n"
         "import __graft_entry__\n"
-        "__graft_entry__.dryrun_multichip(4)\n"
+        "__graft_entry__.dryrun_multichip(4, light=True)\n"
     )
     proc = subprocess.run(
         [sys.executable, "-c", code],
@@ -71,7 +73,7 @@ def test_entry_refuses_after_inline_dryrun():
     the 'single-chip' step for a virtual CPU device."""
     code = (
         "import __graft_entry__\n"
-        "__graft_entry__.dryrun_multichip(2)\n"
+        "__graft_entry__.dryrun_multichip(2, light=True)\n"
         "try:\n"
         "    __graft_entry__.entry()\n"
         "except RuntimeError as e:\n"

@@ -248,14 +248,17 @@ class TestGSPMDAutoSharding:
             time_deriv_label=jax.random.normal(jax.random.fold_in(key, 9), (batch, nx)),
             rollout=jnp.tile(u[:, None], (1, 2, 1)),
         )
-        norms = loss_lib.compute_loss_norms(model, dataset, 2, 0.1, substeps=2)
+        # substeps=1 keeps the rollout at 2 inner RK4 steps: enough to pass
+        # gradients through two halo exchanges while halving the dominant
+        # compile (this is the suite's slowest single test)
+        norms = loss_lib.compute_loss_norms(model, dataset, 2, 0.1, substeps=1)
 
         @jax.jit
         def loss_and_grads(p, batch_data):
             def f(p):
                 loss, _ = loss_lib.compute_loss(
                     model, p, batch_data, norms, LossWeights(),
-                    dt=0.1, unroll_steps=2, substeps=2,
+                    dt=0.1, unroll_steps=2, substeps=1,
                 )
                 return loss
             return jax.value_and_grad(f)(p)
