@@ -79,7 +79,10 @@ class TestCLIPipeline:
         out = run_cli(
             "run_evaluation",
             [f"--checkpoint_dir={ckpt}", f"--output_path={out_path}",
-             "--num_samples=2", "--time_max=0.5", "--time_delta=0.1"],
+             "--num_samples=2", "--time_max=0.5", "--time_delta=0.1",
+             # exercise the matched-baseline width flag (0 = model width is
+             # the default; an explicit width must plumb through too)
+             "--baseline_stencil_size=4"],
         )
         assert os.path.exists(out_path)
         assert "model" in out and "baseline" in out and "weno" in out
