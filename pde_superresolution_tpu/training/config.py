@@ -39,6 +39,16 @@ class TrainingConfig:
     # loss
     loss_weights: LossWeights = LossWeights()
     num_time_steps: int = 4  # unrolled-loss steps (0 disables)
+    # Unroll CURRICULUM: train phase p with unroll_curriculum[p] rollout
+    # steps until global step curriculum_stops[p] (same convention as
+    # learning_stops: the step at which the phase ENDS). Empty = train at
+    # num_time_steps throughout. The last entry must equal num_time_steps
+    # and the last stop must equal num_steps; loss norms are recomputed per
+    # phase. Motivation: at hard coarsenings long unrolls diverge from a
+    # fresh init (KdV 16x, RESULTS.md round-3) — growing the horizon as
+    # the scheme stabilizes is the standard fix.
+    unroll_curriculum: tuple = ()
+    curriculum_stops: tuple = ()
     # coarse RK4 substeps per snapshot interval in the unrolled loss;
     # 0 = auto from the equation's stable_time_step on the coarse grid
     coarse_time_subsample: int = 0
@@ -56,6 +66,37 @@ class TrainingConfig:
     def num_steps(self) -> int:
         return self.learning_stops[-1]
 
+    def curriculum_phases(self) -> tuple:
+        """((unroll_steps, end_step), ...) — one phase if no curriculum.
+
+        Validates the curriculum fields (called from the training loops
+        rather than __post_init__ so partially-formed configs can still be
+        constructed and serialized)."""
+        if not self.unroll_curriculum:
+            return ((self.num_time_steps, self.num_steps),)
+        ks = tuple(int(k) for k in self.unroll_curriculum)
+        stops = tuple(int(s) for s in self.curriculum_stops)
+        if len(ks) != len(stops):
+            raise ValueError(
+                f"unroll_curriculum {ks} and curriculum_stops {stops} must "
+                "align"
+            )
+        if list(ks) != sorted(set(ks)):
+            raise ValueError(f"unroll_curriculum must increase: {ks}")
+        if list(stops) != sorted(set(stops)):
+            raise ValueError(f"curriculum_stops must increase: {stops}")
+        if ks[-1] != self.num_time_steps:
+            raise ValueError(
+                f"last curriculum unroll ({ks[-1]}) must equal "
+                f"num_time_steps ({self.num_time_steps})"
+            )
+        if stops[-1] != self.num_steps:
+            raise ValueError(
+                f"last curriculum stop ({stops[-1]}) must equal num_steps "
+                f"({self.num_steps})"
+            )
+        return tuple(zip(ks, stops))
+
     def to_json(self) -> str:
         return json.dumps(dataclasses.asdict(self), default=list)
 
@@ -67,6 +108,8 @@ class TrainingConfig:
         raw["loss_weights"] = LossWeights(**raw["loss_weights"])
         for k in ("learning_rates", "learning_stops"):
             raw[k] = tuple(raw[k])
+        for k in ("unroll_curriculum", "curriculum_stops"):
+            raw[k] = tuple(raw.get(k, ()))
         return cls(**raw)
 
 

@@ -215,10 +215,7 @@ def train(
         stable = equation.stable_time_step(coarse, u_scale=3.0)
         substeps = max(1, int(np.ceil(config.time_delta / stable)))
     dt = config.time_delta  # snapshot spacing; inner step = dt / substeps
-    norms = loss_lib.compute_loss_norms(
-        model, train_set, config.num_time_steps, dt, substeps,
-        floor_quantile=config.loss_weights.error_floor_quantile,
-    )
+    phases = config.curriculum_phases()  # ((unroll_k, end_step), ...)
 
     # --- optimizer / state -----------------------------------------------------
     tx = make_optimizer(config)
@@ -267,29 +264,41 @@ def train(
     else:
         shard_batch = lambda b: b
 
-    loss_fn = functools.partial(
-        loss_lib.compute_loss,
-        model,
-        norms=norms,
-        weights=config.loss_weights,
-        dt=dt,
-        unroll_steps=config.num_time_steps,
-        substeps=substeps,
-    )
+    def make_steps(unroll_k: int):
+        """(train_step, eval_step) jitted for one curriculum phase.
 
-    @jax.jit
-    def train_step(state: TrainState, batch: data_lib.TrainingData):
-        (_, parts), grads = jax.value_and_grad(
-            lambda p: loss_fn(p, batch), has_aux=True
-        )(state.params)
-        updates, opt_state = tx.update(grads, state.opt_state, state.params)
-        params = optax.apply_updates(state.params, updates)
-        return TrainState(params, opt_state, state.step + 1), parts
+        Loss norms are recomputed per phase: the integrated-target
+        normalizers are per-rollout-step baselines, so a phase with a
+        longer unroll needs its own."""
+        norms = loss_lib.compute_loss_norms(
+            model, train_set, unroll_k, dt, substeps,
+            floor_quantile=config.loss_weights.error_floor_quantile,
+        )
+        loss_fn = functools.partial(
+            loss_lib.compute_loss,
+            model,
+            norms=norms,
+            weights=config.loss_weights,
+            dt=dt,
+            unroll_steps=unroll_k,
+            substeps=substeps,
+        )
 
-    @jax.jit
-    def eval_step(params, batch):
-        _, parts = loss_fn(params, batch)
-        return parts
+        @jax.jit
+        def train_step(state: TrainState, batch: data_lib.TrainingData):
+            (_, parts), grads = jax.value_and_grad(
+                lambda p: loss_fn(p, batch), has_aux=True
+            )(state.params)
+            updates, opt_state = tx.update(grads, state.opt_state, state.params)
+            params = optax.apply_updates(state.params, updates)
+            return TrainState(params, opt_state, state.step + 1), parts
+
+        @jax.jit
+        def eval_step(params, batch):
+            _, parts = loss_fn(params, batch)
+            return parts
+
+        return train_step, eval_step
 
     # --- checkpointing -----------------------------------------------------------
     ckpt_mgr = None
@@ -302,36 +311,40 @@ def train(
 
     logger = MetricsLogger(metrics_path, tensorboard_dir)
     metrics = {}
-    start_step = int(state.step)
-    for step in range(start_step, config.num_steps):
-        # batch indices are a pure function of (seed, step) so that a resumed
-        # run replays exactly the batch stream of an uninterrupted one.
-        idx = np.random.RandomState(config.seed * 100003 + step).randint(
-            0, n_train, size=config.batch_size
-        )
-        batch = shard_batch(_slice_batch(train_set, jnp.asarray(idx)))
-        state, parts = train_step(state, batch)
-
-        if (step + 1) % config.eval_interval == 0 or step + 1 == config.num_steps:
-            eval_parts = eval_step(state.params, shard_batch(eval_set))
-            metrics = {
-                **{f"train_{k}": float(v) for k, v in parts.items()},
-                **{f"eval_{k}": float(v) for k, v in eval_parts.items()},
-            }
-            logger.log(step + 1, **metrics)
-        if ckpt_mgr and (
-            (step + 1) % config.checkpoint_interval == 0
-            or step + 1 == config.num_steps
-        ):
-            ckpt_mgr.save(
-                step + 1,
-                args=ocp.args.Composite(
-                    state=ocp.args.StandardSave(state),
-                    config=ocp.args.JsonSave(
-                        __import__("json").loads(config.to_json())
-                    ),
-                ),
+    for unroll_k, phase_end in phases:
+        if int(state.step) >= phase_end:
+            continue  # resumed past this phase
+        train_step, eval_step = make_steps(unroll_k)
+        for step in range(int(state.step), phase_end):
+            # batch indices are a pure function of (seed, step) so that a
+            # resumed run replays exactly the batch stream of an
+            # uninterrupted one.
+            idx = np.random.RandomState(config.seed * 100003 + step).randint(
+                0, n_train, size=config.batch_size
             )
+            batch = shard_batch(_slice_batch(train_set, jnp.asarray(idx)))
+            state, parts = train_step(state, batch)
+
+            if (step + 1) % config.eval_interval == 0 or step + 1 == phase_end:
+                eval_parts = eval_step(state.params, shard_batch(eval_set))
+                metrics = {
+                    **{f"train_{k}": float(v) for k, v in parts.items()},
+                    **{f"eval_{k}": float(v) for k, v in eval_parts.items()},
+                }
+                logger.log(step + 1, unroll_steps=unroll_k, **metrics)
+            if ckpt_mgr and (
+                (step + 1) % config.checkpoint_interval == 0
+                or step + 1 == phase_end
+            ):
+                ckpt_mgr.save(
+                    step + 1,
+                    args=ocp.args.Composite(
+                        state=ocp.args.StandardSave(state),
+                        config=ocp.args.JsonSave(
+                            __import__("json").loads(config.to_json())
+                        ),
+                    ),
+                )
     if ckpt_mgr:
         ckpt_mgr.wait_until_finished()
         ckpt_mgr.close()
@@ -398,10 +411,7 @@ def _train_on_trajectories(
     norm_batch = draw(
         np.random.RandomState(config.seed + 11), perm[:n_train], 1024
     )
-    norms = loss_lib.compute_loss_norms(
-        model, norm_batch, config.num_time_steps, dt, substeps,
-        floor_quantile=config.loss_weights.error_floor_quantile,
-    )
+    phases = config.curriculum_phases()  # ((unroll_k, end_step), ...)
 
     tx = make_optimizer(config)
     params = model.init_params(jax.random.PRNGKey(config.seed))
@@ -426,28 +436,38 @@ def _train_on_trajectories(
     else:
         shard_batch = lambda b: b
 
-    loss_fn = functools.partial(
-        loss_lib.compute_loss,
-        model,
-        norms=norms,
-        weights=config.loss_weights,
-        dt=dt,
-        unroll_steps=config.num_time_steps,
-        substeps=substeps,
-    )
+    def make_steps(unroll_k: int):
+        """(train_step, eval_step) for one curriculum phase. Batches carry
+        full-width (data.unroll_steps) rollout windows; compute_loss reads
+        only the first ``unroll_k`` — norms are per-phase."""
+        norms = loss_lib.compute_loss_norms(
+            model, norm_batch, unroll_k, dt, substeps,
+            floor_quantile=config.loss_weights.error_floor_quantile,
+        )
+        loss_fn = functools.partial(
+            loss_lib.compute_loss,
+            model,
+            norms=norms,
+            weights=config.loss_weights,
+            dt=dt,
+            unroll_steps=unroll_k,
+            substeps=substeps,
+        )
 
-    @jax.jit
-    def train_step(state: TrainState, batch: data_lib.TrainingData):
-        (_, parts), grads = jax.value_and_grad(
-            lambda p: loss_fn(p, batch), has_aux=True
-        )(state.params)
-        updates, opt_state = tx.update(grads, state.opt_state, state.params)
-        params = optax.apply_updates(state.params, updates)
-        return TrainState(params, opt_state, state.step + 1), parts
+        @jax.jit
+        def train_step(state: TrainState, batch: data_lib.TrainingData):
+            (_, parts), grads = jax.value_and_grad(
+                lambda p: loss_fn(p, batch), has_aux=True
+            )(state.params)
+            updates, opt_state = tx.update(grads, state.opt_state, state.params)
+            params = optax.apply_updates(state.params, updates)
+            return TrainState(params, opt_state, state.step + 1), parts
 
-    @jax.jit
-    def eval_step(params, batch):
-        return loss_fn(params, batch)[1]
+        @jax.jit
+        def eval_step(params, batch):
+            return loss_fn(params, batch)[1]
+
+        return train_step, eval_step
 
     ckpt_mgr = None
     if checkpoint_dir:
@@ -460,30 +480,34 @@ def _train_on_trajectories(
     logger = MetricsLogger(metrics_path, tensorboard_dir)
     metrics = {}
     train_pool = perm[:n_train]
-    for step in range(int(state.step), config.num_steps):
-        rng = np.random.RandomState(config.seed * 100003 + step)
-        batch = shard_batch(draw(rng, train_pool, config.batch_size))
-        state, parts = train_step(state, batch)
-        if (step + 1) % config.eval_interval == 0 or step + 1 == config.num_steps:
-            eval_parts = eval_step(state.params, shard_batch(eval_batch))
-            metrics = {
-                **{f"train_{k}": float(v) for k, v in parts.items()},
-                **{f"eval_{k}": float(v) for k, v in eval_parts.items()},
-            }
-            logger.log(step + 1, **metrics)
-        if ckpt_mgr and (
-            (step + 1) % config.checkpoint_interval == 0
-            or step + 1 == config.num_steps
-        ):
-            ckpt_mgr.save(
-                step + 1,
-                args=ocp.args.Composite(
-                    state=ocp.args.StandardSave(state),
-                    config=ocp.args.JsonSave(
-                        __import__("json").loads(config.to_json())
+    for unroll_k, phase_end in phases:
+        if int(state.step) >= phase_end:
+            continue  # resumed past this phase
+        train_step, eval_step = make_steps(unroll_k)
+        for step in range(int(state.step), phase_end):
+            rng = np.random.RandomState(config.seed * 100003 + step)
+            batch = shard_batch(draw(rng, train_pool, config.batch_size))
+            state, parts = train_step(state, batch)
+            if (step + 1) % config.eval_interval == 0 or step + 1 == phase_end:
+                eval_parts = eval_step(state.params, shard_batch(eval_batch))
+                metrics = {
+                    **{f"train_{k}": float(v) for k, v in parts.items()},
+                    **{f"eval_{k}": float(v) for k, v in eval_parts.items()},
+                }
+                logger.log(step + 1, unroll_steps=unroll_k, **metrics)
+            if ckpt_mgr and (
+                (step + 1) % config.checkpoint_interval == 0
+                or step + 1 == phase_end
+            ):
+                ckpt_mgr.save(
+                    step + 1,
+                    args=ocp.args.Composite(
+                        state=ocp.args.StandardSave(state),
+                        config=ocp.args.JsonSave(
+                            __import__("json").loads(config.to_json())
+                        ),
                     ),
-                ),
-            )
+                )
     if ckpt_mgr:
         ckpt_mgr.wait_until_finished()
         ckpt_mgr.close()

@@ -453,3 +453,73 @@ class TestLegacy2DH5:
         # derivative-only training from the same file is fine
         data = build_training_data(eq, grid, snaps, 4, unroll_steps=0)
         assert data.inputs.shape == (12, 16)
+
+
+class TestUnrollCurriculum:
+    """Phase-wise unroll growth (unroll_curriculum/curriculum_stops):
+    the training-stability tool for long unrolls at hard coarsenings
+    (KdV-16x unroll-32 diverges from a fresh init, RESULTS.md round 3)."""
+
+    def test_validation_errors(self):
+        base = dataclasses.replace(TINY)
+        bad = [
+            dict(unroll_curriculum=(1, 2), curriculum_stops=(12,)),      # len
+            dict(unroll_curriculum=(2, 1), curriculum_stops=(6, 12)),    # order
+            dict(unroll_curriculum=(1, 3), curriculum_stops=(6, 12)),    # K != num_time_steps
+            dict(unroll_curriculum=(1, 2), curriculum_stops=(6, 9)),     # stop != num_steps
+        ]
+        for kw in bad:
+            with pytest.raises(ValueError):
+                dataclasses.replace(base, **kw).curriculum_phases()
+        assert dataclasses.replace(
+            base, unroll_curriculum=(1, 2), curriculum_stops=(6, 12)
+        ).curriculum_phases() == ((1, 6), (2, 12))
+        assert base.curriculum_phases() == ((2, 12),)
+
+    def test_flat_path_trains_through_phases(self, tmp_path):
+        metrics_path = str(tmp_path / "m.jsonl")
+        cfg = dataclasses.replace(
+            TINY, unroll_curriculum=(1, 2), curriculum_stops=(6, 12),
+        )
+        _, params, metrics = loop_lib.train(cfg, metrics_path=metrics_path)
+        assert np.isfinite(metrics["eval_total"]), metrics
+        import json
+
+        records = [json.loads(l) for l in open(metrics_path)]
+        seen = {int(r["step"]): int(r["unroll_steps"]) for r in records}
+        # phase 1 (unroll 1) logs at step 6; phase 2 (unroll 2) at 12
+        assert seen[6] == 1 and seen[12] == 2, seen
+
+    def test_resume_past_curriculum_is_idempotent(self, tmp_path):
+        ckpt = str(tmp_path / "ckpt")
+        cfg = dataclasses.replace(
+            TINY, unroll_curriculum=(1, 2), curriculum_stops=(6, 12),
+        )
+        _, params, _ = loop_lib.train(cfg, checkpoint_dir=ckpt)
+        _, params2, _ = loop_lib.train(cfg, checkpoint_dir=ckpt)  # restores step 12
+        for a, b in zip(jax.tree.leaves(params), jax.tree.leaves(params2)):
+            np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+
+    def test_hparams_parse(self):
+        cfg = parse_hparams(
+            "num_time_steps=2,unroll_curriculum=1;2,curriculum_stops=6;12,"
+            "learning_rates=1e-3,learning_stops=12"
+        )
+        assert cfg.curriculum_phases() == ((1, 6), (2, 12))
+
+    def test_trajectory_path_trains_through_phases(self):
+        from pde_superresolution_tpu.training import data as data_lib
+
+        eq = equations.from_name("burgers", conservative=True)
+        fine = Grid(64, eq.period)
+        cfg = dataclasses.replace(
+            TINY, num_trajectories=4, frac_training=0.75,
+            unroll_curriculum=(1, 2), curriculum_stops=(6, 12),
+        )
+        traj = data_lib.build_trajectory_data(
+            eq, fine, jax.random.PRNGKey(0), cfg.num_trajectories,
+            cfg.num_times, cfg.time_delta, cfg.resample_factor,
+            unroll_steps=cfg.num_time_steps,
+        )
+        _, params, metrics = loop_lib.train(cfg, dataset=traj)
+        assert np.isfinite(metrics["eval_total"]), metrics
