@@ -390,3 +390,32 @@ class TestDPxSPTraining:
                 np.asarray(a), np.asarray(b), rtol=1e-4, atol=1e-5
             )
         assert abs(m_2d["eval_total"] - m_single["eval_total"]) < 1e-3
+
+
+class TestCurriculumUnderMesh:
+    def test_curriculum_training_matches_single_device(self):
+        """Phase-wise unroll growth composes with the DP mesh: same params
+        as the unsharded curriculum run (per-phase re-jit under GSPMD)."""
+        import dataclasses as dc
+
+        from pde_superresolution_tpu.training import TrainingConfig, loop as loop_lib
+
+        cfg = TrainingConfig(
+            equation="burgers", conservative=True, resample_factor=4,
+            fine_size=128, num_trajectories=2, time_delta=0.1,
+            model=ModelConfig(num_layers=1, filters=4, stencil_size=4),
+            num_time_steps=2, learning_rates=(1e-3,), learning_stops=(4,),
+            unroll_curriculum=(1, 2), curriculum_stops=(2, 4),
+            # 2*32 usable samples, frac 0.75 -> eval 16 (divisible by 8: the
+            # DP path trims the eval split to a shardable multiple, so both
+            # runs must see the same eval set for the metric to compare)
+            num_times=34, batch_size=16, eval_interval=2, frac_training=0.75,
+        )
+        mesh = parallel.make_mesh()  # all 8 on "data"
+        _, params_dp, m_dp = loop_lib.train(cfg, mesh=mesh)
+        _, params_single, m_single = loop_lib.train(cfg)
+        for a, b in zip(jax.tree.leaves(params_dp), jax.tree.leaves(params_single)):
+            np.testing.assert_allclose(
+                np.asarray(a), np.asarray(b), rtol=1e-4, atol=1e-5
+            )
+        assert abs(m_dp["eval_total"] - m_single["eval_total"]) < 1e-3
