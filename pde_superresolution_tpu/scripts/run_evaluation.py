@@ -32,6 +32,12 @@ flags.DEFINE_float("time_delta", 0.1, "metric sampling interval")
 flags.DEFINE_float("warmup_time", 0.0, "attractor warmup (KS: ~40)")
 flags.DEFINE_float("correlation_threshold", 0.8,
                    "survival-time correlation threshold")
+flags.DEFINE_float(
+    "mae_survival_threshold", 0.0,
+    "if > 0, ALSO report survival times under the alternative MAE-threshold "
+    "criterion (first time ensemble-member MAE exceeds this value; the "
+    "reference's exact validity rule is unknown — SURVEY.md §3.4 — so both "
+    "criteria are available)")
 flags.DEFINE_integer("seed", 0, "evaluation seed")
 flags.DEFINE_float("ic_scale", 1.0, "initial-condition amplitude")
 flags.DEFINE_integer(
@@ -75,16 +81,30 @@ def main(argv):
         ic_scale=FLAGS.ic_scale,
     )
     eval_lib.save_eval_h5(FLAGS.output_path, result)
+    rel_times = result.times - result.times[0]
     for name in schemes:
         final = np.asarray(result.mae[name])[:, -1]
         finite = np.isfinite(final)
         mae = float(final[finite].mean()) if finite.any() else float("nan")
         surv = np.asarray(result.survival_time[name])
         diverged = f" [{int((~finite).sum())}/{finite.size} diverged]" if (~finite).any() else ""
+        extra = ""
+        if FLAGS.mae_survival_threshold > 0:
+            m = np.asarray(result.mae[name])
+            m = np.where(np.isfinite(m), m, np.inf)  # NaN blowup = dead
+            s2 = np.asarray(
+                eval_lib.survival_time_from_mae(
+                    m, rel_times, FLAGS.mae_survival_threshold
+                )
+            )
+            extra = (
+                f" | MAE<{FLAGS.mae_survival_threshold:g} survival "
+                f"median {np.median(s2):.2f}"
+            )
         print(
             f"{name:>10}: final MAE {mae:.4f}{diverged} | survival "
             f"median {np.median(surv):.2f} / mean {surv.mean():.2f} "
-            f"(horizon {FLAGS.time_max})"
+            f"(horizon {FLAGS.time_max}){extra}"
         )
 
 

@@ -81,9 +81,11 @@ class TestCLIPipeline:
             [f"--checkpoint_dir={ckpt}", f"--output_path={out_path}",
              "--num_samples=2", "--time_max=0.5", "--time_delta=0.1",
              # exercise the matched-baseline width flag (0 = model width is
-             # the default; an explicit width must plumb through too)
-             "--baseline_stencil_size=4"],
+             # the default; an explicit width must plumb through too) and
+             # the alternative MAE-threshold survival criterion
+             "--baseline_stencil_size=4", "--mae_survival_threshold=0.5"],
         )
+        assert "MAE<0.5 survival" in out
         assert os.path.exists(out_path)
         assert "model" in out and "baseline" in out and "weno" in out
 
