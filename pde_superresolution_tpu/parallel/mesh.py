@@ -30,10 +30,14 @@ def initialize_multihost(**kwargs) -> None:
     every chip in the slice (ICI within a pod, DCN across slices) and the
     same sharded-jit / shard_map code runs unchanged — XLA routes the
     collectives. No-op when already initialized. Single-process runs never
-    need it. (Cannot run for real on a single host; its contract — kwarg
-    passthrough, already-initialized tolerance, error propagation — is
-    stub-tested in tests/test_parallel.py::TestInitializeMultihost, and the
-    multi-device path is covered by the virtual-mesh tests.)
+    need it. Tested two ways: the contract (kwarg passthrough,
+    already-initialized tolerance, error propagation) against a stub in
+    tests/test_parallel.py::TestInitializeMultihost, and FOR REAL in
+    ::TestRealMultiProcess — two OS processes with 4 local CPU devices each
+    join into one 8-device global mesh through this function and run the
+    full DP training loop with cross-process gradient psums (Gloo transport
+    standing in for ICI/DCN). Real multi-host *TPU* hardware remains the
+    one untested leg (none available here).
     """
     try:
         jax.distributed.initialize(**kwargs)

@@ -392,6 +392,99 @@ class TestDPxSPTraining:
         assert abs(m_2d["eval_total"] - m_single["eval_total"]) < 1e-3
 
 
+_MP_WORKER = r"""
+import os, sys
+os.environ["XLA_FLAGS"] = "--xla_force_host_platform_device_count=4"
+import jax
+jax.config.update("jax_platforms", "cpu")
+pid, port, out = int(sys.argv[1]), sys.argv[2], sys.argv[3]
+from pde_superresolution_tpu import parallel
+from pde_superresolution_tpu.models import ModelConfig
+from pde_superresolution_tpu.training import TrainingConfig, loop as loop_lib
+parallel.initialize_multihost(
+    coordinator_address="127.0.0.1:" + port, num_processes=2, process_id=pid
+)
+assert jax.process_count() == 2, jax.process_count()
+assert len(jax.devices()) == 8 and len(jax.local_devices()) == 4
+cfg = TrainingConfig(
+    equation="burgers", conservative=True, resample_factor=4,
+    fine_size=128, num_trajectories=2, num_times=32, time_delta=0.1,
+    model=ModelConfig(num_layers=1, filters=4, stencil_size=4),
+    num_time_steps=0, learning_rates=(1e-3,), learning_stops=(3,),
+    batch_size=16, eval_interval=3, frac_training=0.75,
+)
+mesh = parallel.make_mesh()  # all 8 global devices on "data"
+assert mesh.devices.size == 8
+_, params, metrics = loop_lib.train(cfg, mesh=mesh)
+import numpy as np
+leaves = [np.asarray(x) for x in jax.tree.leaves(params)]
+np.savez(out, eval_total=float(metrics["eval_total"]),
+         **{str(i): l for i, l in enumerate(leaves)})
+print("WORKER_OK", pid)
+"""
+
+
+class TestRealMultiProcess:
+    """REAL multi-process distributed training: two OS processes, each with
+    4 local CPU devices, joined by ``initialize_multihost`` into one
+    8-device global mesh. The full ``train()`` loop runs unchanged — GSPMD
+    inserts *cross-process* gradient psums (Gloo transport stands in for
+    ICI/DCN) — and both processes must agree bitwise with each other and
+    match the single-process run to float tolerance. This is the strongest
+    comm-backend evidence available without real multi-host TPU hardware
+    (SURVEY.md §5 distributed-communication row)."""
+
+    def test_two_process_dp_training_matches_single_process(self, tmp_path):
+        import os
+        import socket
+        import subprocess
+        import sys
+
+        from pde_superresolution_tpu.training import TrainingConfig, loop as loop_lib
+
+        with socket.socket() as s:  # free port for the coordinator
+            s.bind(("127.0.0.1", 0))
+            port = str(s.getsockname()[1])
+
+        repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+        env = dict(os.environ)
+        env.pop("PDE_TPU_TESTS", None)
+        env["PYTHONPATH"] = repo + os.pathsep + env.get("PYTHONPATH", "")
+        outs = [str(tmp_path / f"params{i}.npz") for i in (0, 1)]
+        procs = [
+            subprocess.Popen(
+                [sys.executable, "-c", _MP_WORKER, str(i), port, outs[i]],
+                stdout=subprocess.PIPE, stderr=subprocess.STDOUT, text=True,
+                env=env, cwd=repo,
+            )
+            for i in (0, 1)
+        ]
+        logs = []
+        for p in procs:
+            out, _ = p.communicate(timeout=420)
+            logs.append(out)
+        assert all(p.returncode == 0 for p in procs), [l[-2000:] for l in logs]
+
+        got = [np.load(o) for o in outs]
+        # both processes hold the same replicated result, bitwise
+        for key in got[0].files:
+            np.testing.assert_array_equal(got[0][key], got[1][key])
+
+        cfg = TrainingConfig(
+            equation="burgers", conservative=True, resample_factor=4,
+            fine_size=128, num_trajectories=2, num_times=32, time_delta=0.1,
+            model=ModelConfig(num_layers=1, filters=4, stencil_size=4),
+            num_time_steps=0, learning_rates=(1e-3,), learning_stops=(3,),
+            batch_size=16, eval_interval=3, frac_training=0.75,
+        )
+        _, params_single, m_single = loop_lib.train(cfg)
+        single = [np.asarray(x) for x in jax.tree.leaves(params_single)]
+        multi = [got[0][str(i)] for i in range(len(single))]
+        for a, b in zip(multi, single):
+            np.testing.assert_allclose(a, b, rtol=1e-4, atol=1e-5)
+        assert abs(float(got[0]["eval_total"]) - m_single["eval_total"]) < 1e-3
+
+
 class TestCurriculumUnderMesh:
     def test_curriculum_training_matches_single_device(self):
         """Phase-wise unroll growth composes with the DP mesh: same params
