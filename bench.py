@@ -13,7 +13,8 @@ when it wins, else the XLA scan) / (the same XLA-scan program on one CPU
 device — the reference is a single-CPU pipeline). The TPU path in use is
 printed on stderr, so the ratio's numerator is always identifiable.
 
-Every quoted number is the MEDIAN of >=5 timed blocks (see steps_per_sec)
+Every TPU number is the MEDIAN of >=5 timed blocks (the slow CPU leg caps
+at 3 blocks to bound total wall time — see steps_per_sec)
 and the fused-vs-XLA ratio is computed within one invocation — one-shot
 pairings flattered the fused kernel by up to 1.2x in round 2 because the
 XLA-scan sample itself swings ~20% between runs.

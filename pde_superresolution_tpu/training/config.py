@@ -73,6 +73,12 @@ class TrainingConfig:
         rather than __post_init__ so partially-formed configs can still be
         constructed and serialized)."""
         if not self.unroll_curriculum:
+            if self.curriculum_stops:
+                raise ValueError(
+                    f"curriculum_stops={self.curriculum_stops} set without "
+                    "unroll_curriculum — a half-specified curriculum would "
+                    "silently train at the full unroll from step 0"
+                )
             return ((self.num_time_steps, self.num_steps),)
         ks = tuple(int(k) for k in self.unroll_curriculum)
         stops = tuple(int(s) for s in self.curriculum_stops)

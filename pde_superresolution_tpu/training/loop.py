@@ -264,16 +264,19 @@ def train(
     else:
         shard_batch = lambda b: b
 
-    def make_steps(unroll_k: int):
-        """(train_step, eval_step) jitted for one curriculum phase.
+    # Norms are computed ONCE at the final curriculum width; each phase
+    # takes the exact prefix (shorter-unroll norms are bit-identical to a
+    # fresh computation — see losses.truncate_norms).
+    full_norms = loss_lib.compute_loss_norms(
+        model, train_set, phases[-1][0], dt, substeps,
+        floor_quantile=config.loss_weights.error_floor_quantile,
+    )
 
-        Loss norms are recomputed per phase: the integrated-target
-        normalizers are per-rollout-step baselines, so a phase with a
-        longer unroll needs its own."""
-        norms = loss_lib.compute_loss_norms(
-            model, train_set, unroll_k, dt, substeps,
-            floor_quantile=config.loss_weights.error_floor_quantile,
-        )
+    def make_steps(unroll_k: int):
+        """(train_step, eval_step) jitted for one curriculum phase, with
+        the per-rollout-step integrated-target normalizers restricted to
+        this phase's unroll width."""
+        norms = loss_lib.truncate_norms(full_norms, unroll_k)
         loss_fn = functools.partial(
             loss_lib.compute_loss,
             model,
@@ -436,14 +439,18 @@ def _train_on_trajectories(
     else:
         shard_batch = lambda b: b
 
+    # one full-width norms computation; phases slice the exact prefix
+    # (losses.truncate_norms)
+    full_norms = loss_lib.compute_loss_norms(
+        model, norm_batch, phases[-1][0], dt, substeps,
+        floor_quantile=config.loss_weights.error_floor_quantile,
+    )
+
     def make_steps(unroll_k: int):
         """(train_step, eval_step) for one curriculum phase. Batches carry
         full-width (data.unroll_steps) rollout windows; compute_loss reads
-        only the first ``unroll_k`` — norms are per-phase."""
-        norms = loss_lib.compute_loss_norms(
-            model, norm_batch, unroll_k, dt, substeps,
-            floor_quantile=config.loss_weights.error_floor_quantile,
-        )
+        only the first ``unroll_k`` — norms are the phase-width prefix."""
+        norms = loss_lib.truncate_norms(full_norms, unroll_k)
         loss_fn = functools.partial(
             loss_lib.compute_loss,
             model,

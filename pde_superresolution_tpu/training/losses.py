@@ -189,6 +189,30 @@ def compute_loss_norms(
     )
 
 
+def truncate_norms(norms: LossNorms, unroll_steps: int) -> LossNorms:
+    """Restrict full-width norms to a shorter unroll.
+
+    Norms for a shorter unroll are an exact prefix of a longer one's: the
+    derivative/time-derivative norms do not depend on the rollout length,
+    and the baseline rollout is deterministic, so ``integrated[k]`` (and
+    its floor) is identical whether computed at width k or sliced from a
+    wider computation (verified bit-exact in
+    tests/test_training.py::TestUnrollCurriculum). The curriculum training
+    loops use this to compute norms ONCE at the final width instead of
+    re-rolling the baseline for every phase (a 2+4+8+16-step cumulative
+    rollout where 16 suffices — and the cost repeats on every resume).
+    """
+    if unroll_steps > len(norms.integrated):
+        raise ValueError(
+            f"cannot truncate norms of width {len(norms.integrated)} to "
+            f"{unroll_steps}"
+        )
+    return norms._replace(
+        integrated=norms.integrated[:unroll_steps],
+        integrated_floors=norms.integrated_floors[:unroll_steps],
+    )
+
+
 def compute_loss(
     model: StencilModel,
     params,

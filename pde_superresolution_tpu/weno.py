@@ -137,5 +137,11 @@ class WENODifferentiator(integrate.Differentiator):
                 u_t = u_t + forcing_term(forcing, x, t, eq.period, width)
             return u_t
 
-        rhs.conservative = eq.conservative  # family tag for evaluate()
+        # family tag for evaluate(): WENO is *intrinsically* a flux /
+        # cell-average scheme (face reconstruction + telescoping flux
+        # divergence above) regardless of which equation object built it —
+        # evaluating it under a point-value (subsample) coarse-graining is
+        # the half-cell mismatch evaluate() warns about, so the tag must
+        # not copy the caller's family.
+        rhs.conservative = True
         return rhs

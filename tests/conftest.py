@@ -26,26 +26,16 @@ if not os.environ.get("PDE_TPU_TESTS"):
 
     # Persistent XLA compilation cache: the suite's wall time is dominated
     # by repeated CPU compiles of the jitted train/integration steps (the
-    # problem sizes are already tiny). The env var (not just jax.config)
-    # makes the subprocess tests (test_scripts, test_graft_entry) share the
-    # cache. Keyed by HLO + topology hash, so it is always safe to delete.
-    # The runtime cache (.cache/, gitignored) is populated from the
-    # COMMITTED seed (.cache_seed/jax) when empty, so a fresh clone's first
-    # run is warm while test-time additions never dirty the work tree.
-    repo_root = os.path.dirname(os.path.dirname(__file__))
-    cache_dir = os.environ.setdefault(
-        "JAX_COMPILATION_CACHE_DIR",
-        os.path.join(repo_root, ".cache", "jax"),
-    )
-    os.makedirs(cache_dir, exist_ok=True)
-    seed_dir = os.path.join(repo_root, ".cache_seed", "jax")
-    if os.path.isdir(seed_dir) and not os.listdir(cache_dir):
-        import shutil
+    # problem sizes are already tiny). Keyed by HLO + topology hash, so it
+    # is always safe to delete. Seeding policy (committed seed -> runtime
+    # cache, env var shared with the subprocess tests): _cache_seed.py.
+    import sys
 
-        for name in os.listdir(seed_dir):
-            shutil.copy2(
-                os.path.join(seed_dir, name), os.path.join(cache_dir, name)
-            )
+    repo_root = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    sys.path.insert(0, repo_root)
+    from _cache_seed import seed_compile_cache
+
+    cache_dir = seed_compile_cache(repo_root)
 
     import jax
 

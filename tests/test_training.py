@@ -507,6 +507,32 @@ class TestUnrollCurriculum:
         )
         assert cfg.curriculum_phases() == ((1, 6), (2, 12))
 
+    def test_orphan_curriculum_stops_rejected(self):
+        cfg = dataclasses.replace(TINY, curriculum_stops=(6, 12))
+        with pytest.raises(ValueError, match="without\\s+unroll_curriculum"):
+            cfg.curriculum_phases()
+
+    def test_truncate_norms_is_bit_exact(self):
+        """Prefix-sliced full-width norms == a fresh shorter computation
+        (the invariant the curriculum loops rely on to compute norms once
+        at the final width — losses.truncate_norms)."""
+        eq = equations.from_name("burgers", conservative=True)
+        fine = Grid(64, eq.period)
+        snaps = generate_snapshots(
+            eq, fine, jax.random.PRNGKey(0), num_trajectories=2, num_times=8,
+            time_delta=0.05,
+        )
+        data = build_training_data(eq, fine, snaps, resample_factor=4, unroll_steps=4)
+        model = StencilModel(
+            eq, fine.resample(4), ModelConfig(num_layers=1, filters=4, stencil_size=4)
+        )
+        full = loss_lib.compute_loss_norms(model, data, 4, 0.05, substeps=2)
+        fresh = loss_lib.compute_loss_norms(model, data, 2, 0.05, substeps=2)
+        assert loss_lib.truncate_norms(full, 2) == fresh
+        assert loss_lib.truncate_norms(full, 4) == full
+        with pytest.raises(ValueError, match="cannot truncate"):
+            loss_lib.truncate_norms(full, 5)
+
     def test_trajectory_path_trains_through_phases(self):
         from pde_superresolution_tpu.training import data as data_lib
 
