@@ -83,6 +83,14 @@ class SpectralDifferentiator(Differentiator):
     Always uses the direct (non-conservative) form of the equation —
     spectral derivatives are exact, so the forms coincide.
     ≈ integrate.py §SpectralDifferentiator (unverified).
+
+    Stiffness caveat: spectral derivatives raise the resolvable
+    wavenumber ceiling to pi/dx, so for stiff equations (KS u_xxxx) an
+    explicit RK4 step sized for classic stencils — including
+    ``evaluate()``'s default ``coarse_dt`` — is unconditionally unstable
+    on fine grids (measured: instant blowup at KS 8x). Integrate this
+    scheme with ``integrate_spectral`` / ``exact_solve_sampled`` (ETDRK4,
+    exact linear part) or pass an explicitly tiny ``coarse_dt``.
     """
 
     def derivatives(self, u):

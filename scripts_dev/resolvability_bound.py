@@ -3,12 +3,22 @@
 RESULTS.md round 3 claims the KS 32x survival plateau (~37 t.u.) is a
 RESOLVABILITY limit, not a training limit — sub-grid scales the coarse grid
 cannot represent decorrelate the chaotic attractor no matter how good the
-stencils are. This probe tests that claim directly: evaluate a coarse-grid
-SPECTRAL scheme (exact band-limited derivatives — the most accurate scheme
-any method could realize on N points) under the exact same protocol as the
-learned-model sweeps (fine 1024, warmup 44, horizon 50, 32 matched ICs,
-eval key 12345). If even spectral-on-32-points saturates near the learned
-model's plateau, the plateau is the grid's, not the model's.
+stencils are. This probe tests that claim directly: solve KS *spectrally
+with ETDRK4 on the coarse grid itself* — exact band-limited derivatives and
+an exact stiff linear part, the most accurate scheme any method could
+realize on N points — under the same protocol as the learned-model sweeps
+(fine 1024, warmup 44, horizon 50, 32 matched ICs, eval key 12345, the
+sweep's correlation-survival criterion). If even ETDRK4-on-N-points
+saturates near the learned model's plateau, the plateau is the grid's, not
+the model's.
+
+(Why not plug SpectralDifferentiator into evaluate()? evaluate integrates
+schemes with RK4 at the classic schemes' stable step; spectral derivatives
+raise the stiff |k|^4 ceiling to pi/dx so that step is unstable — measured:
+instant divergence at every factor. ETDRK4 removes the stiffness exactly.)
+
+Both coarse-graining families are reported: block-mean (cell averages, the
+conservative models' comparator) and subsample (point values).
 
 Usage (TPU, one process):
   python scripts_dev/resolvability_bound.py --factors=8,16,32 \
@@ -21,11 +31,13 @@ import numpy as np
 from absl import app, flags
 
 import jax
+import jax.numpy as jnp
 
 from pde_superresolution_tpu import equations
 from pde_superresolution_tpu import evaluate as eval_lib
 from pde_superresolution_tpu import integrate
 from pde_superresolution_tpu.grids import Grid
+from pde_superresolution_tpu.ops import resample
 
 FLAGS = flags.FLAGS
 
@@ -36,7 +48,7 @@ flags.DEFINE_integer("num_samples", 32, "ensemble size (sweep protocol)")
 flags.DEFINE_float("time_max", 50.0, "horizon")
 flags.DEFINE_float("time_delta", 0.1, "save interval")
 flags.DEFINE_float("warmup", 44.0, "attractor warmup (KS)")
-flags.DEFINE_integer("baseline_stencil_size", 10, "classic comparator width")
+flags.DEFINE_float("correlation_threshold", 0.8, "survival criterion")
 flags.DEFINE_string("output_path", None, "optional JSONL results path")
 
 
@@ -44,37 +56,44 @@ def main(argv):
     del argv
     eq = equations.from_name(FLAGS.equation, conservative=True)
     fine = Grid(FLAGS.fine_size, eq.period)
+    num_times = int(round(FLAGS.time_max / FLAGS.time_delta)) + 1
+
+    # matched ICs/forcing, same key-split as evaluate()
+    k_ic, k_f = jax.random.split(jax.random.PRNGKey(12345))
+    u0 = eq.initial_conditions(k_ic, fine, (FLAGS.num_samples,))
+    forcing = eq.sample_forcing(k_f, (FLAGS.num_samples,))
+
+    times, traj_fine = integrate.exact_solve_sampled(
+        eq, fine, u0, FLAGS.time_delta, num_times,
+        warmup_time=FLAGS.warmup, forcing=forcing,
+    )  # [T, batch, nx_fine]
+
     for factor in [int(f) for f in FLAGS.factors]:
-        coarse = fine.resample(factor, conservative=True)
-        schemes = {
-            "spectral_coarse": lambda f, c=coarse: integrate.SpectralDifferentiator(
-                eq, c
-            ).rhs_fn(f),
-            "baseline": lambda f, c=coarse: integrate.PolynomialDifferentiator(
-                eq, c, stencil_size=FLAGS.baseline_stencil_size
-            ).rhs_fn(f),
-        }
-        result = eval_lib.evaluate(
-            eq,
-            fine,
-            factor,
-            schemes,
-            key=jax.random.PRNGKey(12345),
-            num_samples=FLAGS.num_samples,
-            time_max=FLAGS.time_max,
-            time_delta=FLAGS.time_delta,
-            warmup_time=FLAGS.warmup,
-        )
-        record = {"factor": factor, "n_coarse": coarse.size}
-        for name in schemes:
-            final = np.asarray(result.mae[name])[:, -1]
+        record = {"factor": factor, "n_coarse": FLAGS.fine_size // factor}
+        for family, coarsen in (
+            ("mean", lambda f, k=factor: resample.resample_mean(f, k)),
+            ("subsample", lambda f, k=factor: resample.subsample(f, k)),
+        ):
+            coarse = fine.resample(factor, conservative=(family == "mean"))
+            exact = jnp.swapaxes(coarsen(traj_fine), 0, 1)  # [batch, T, nx_c]
+            _, ctraj = integrate.exact_solve_sampled(
+                eq, coarse, exact[:, 0], FLAGS.time_delta, num_times,
+                warmup_time=0.0, forcing=forcing,
+            )
+            ctraj = jnp.swapaxes(ctraj, 0, 1)
+            corr = eval_lib.pearson_correlation(ctraj, exact)
+            corr = jnp.where(jnp.isfinite(corr), corr, -1.0)
+            surv = eval_lib.survival_time_from_correlation(
+                corr, times - times[0], FLAGS.correlation_threshold
+            )
+            final = np.asarray(jnp.abs(ctraj - exact).mean(axis=-1))[:, -1]
             finite = np.isfinite(final)
-            record[f"{name}_mae"] = (
+            record[f"etdrk4_{family}_mae"] = (
                 float(final[finite].mean()) if finite.any() else None
             )
-            record[f"{name}_diverged"] = int((~finite).sum())
-            record[f"{name}_survival_median"] = float(
-                np.median(np.asarray(result.survival_time[name]))
+            record[f"etdrk4_{family}_diverged"] = int((~finite).sum())
+            record[f"etdrk4_{family}_survival_median"] = float(
+                np.median(np.asarray(surv))
             )
         print(json.dumps(record), flush=True)
         if FLAGS.output_path:
