@@ -522,15 +522,34 @@ def _train_on_trajectories(
     return model, state.params, metrics
 
 
+def _restore_state_host(checkpoint_dir: str, step: int) -> dict:
+    """Restore a checkpoint's state as HOST (numpy) arrays.
+
+    A bare ``mgr.restore(step)`` rebuilds every array with the sharding
+    recorded at SAVE time, so a checkpoint written on a TPU refuses to
+    load anywhere else ("Device TPU v5 lite0 was not found in
+    jax.local_devices()"). The committed checkpoint zoo must be loadable
+    on any machine; the inference paths therefore restore to host numpy
+    and let JAX place arrays on first use (tested CPU-side in
+    tests/test_training.py::TestCommittedCheckpoints)."""
+    path = os.path.join(os.path.abspath(checkpoint_dir), str(step), "state")
+    ckptr = ocp.PyTreeCheckpointer()
+    meta = ckptr.metadata(path).item_metadata
+    meta_tree = getattr(meta, "tree", meta)
+    restore_args = jax.tree.map(
+        lambda _: ocp.RestoreArgs(restore_type=np.ndarray), meta_tree
+    )
+    return ckptr.restore(path, restore_args=restore_args)
+
+
 def restore_params(checkpoint_dir: str) -> dict:
     """Restore the latest checkpoint's params (inference path)."""
     mgr = ocp.CheckpointManager(os.path.abspath(checkpoint_dir))
     step = mgr.latest_step()
+    mgr.close()
     if step is None:
         raise FileNotFoundError(f"no checkpoint under {checkpoint_dir}")
-    restored = mgr.restore(step)
-    mgr.close()
-    return restored["state"]["params"]
+    return _restore_state_host(checkpoint_dir, step)["params"]
 
 
 def load_model(checkpoint_dir: str) -> tuple[StencilModel, dict, TrainingConfig]:
@@ -546,8 +565,14 @@ def load_model(checkpoint_dir: str) -> tuple[StencilModel, dict, TrainingConfig]
     mgr = ocp.CheckpointManager(os.path.abspath(checkpoint_dir))
     step = mgr.latest_step()
     if step is None:
+        mgr.close()
         raise FileNotFoundError(f"no checkpoint under {checkpoint_dir}")
-    restored = mgr.restore(step)
+    restored = {
+        "config": mgr.restore(
+            step, args=ocp.args.Composite(config=ocp.args.JsonRestore())
+        )["config"],
+        "state": _restore_state_host(checkpoint_dir, step),
+    }
     mgr.close()
     config = TrainingConfig.from_json(json.dumps(restored["config"]))
     equation = from_name(

@@ -455,6 +455,35 @@ class TestLegacy2DH5:
         assert data.inputs.shape == (12, 16)
 
 
+class TestCommittedCheckpoints:
+    """Every checkpoint shipped under artifacts/ckpt_* must stay loadable
+    (the README promises `run_evaluation --checkpoint_dir=artifacts/...`
+    works out of the box; a config forward-compat regression would break
+    users silently)."""
+
+    REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+
+    def _dirs(self):
+        import glob
+
+        return sorted(glob.glob(os.path.join(self.REPO, "artifacts", "ckpt_*")))
+
+    def test_zoo_is_present(self):
+        assert len(self._dirs()) >= 5, self._dirs()
+
+    def test_all_load_and_produce_finite_rhs(self):
+        for d in self._dirs():
+            model, params, config = loop_lib.load_model(d)
+            assert config.equation in ("burgers", "kdv", "ks"), d
+            rhs = model.rhs_fn(params, None, use_pallas=False)
+            u = np.sin(
+                2 * np.pi * np.arange(model.grid.size) / model.grid.size
+            ).astype(np.float32)
+            out = rhs(u, 0.0)
+            assert out.shape == u.shape, d
+            assert np.isfinite(np.asarray(out)).all(), d
+
+
 class TestUnrollCurriculum:
     """Phase-wise unroll growth (unroll_curriculum/curriculum_stops):
     the training-stability tool for long unrolls at hard coarsenings
