@@ -38,6 +38,28 @@ def survival_summary(result: EvalResult) -> dict:
     return out
 
 
+def survival_curves(result: EvalResult) -> dict:
+    """Fraction of ensemble members still valid vs time, per scheme.
+
+    The paper's survival-time figures are distributions over the ensemble;
+    this is the standard survival-curve view of the same data: for each
+    scheme, ``frac[t] = P(survival_time >= t)`` on the evaluation's own
+    time grid (relative to the evaluation start, warmup excluded — the
+    same convention as ``EvalResult.survival_time``).
+    """
+    rel = np.asarray(result.times, dtype=np.float64)
+    rel = rel - rel[0]
+    return {
+        name: (
+            rel,
+            (np.asarray(st, dtype=np.float64)[:, None] >= rel[None, :]).mean(
+                axis=0
+            ),
+        )
+        for name, st in result.survival_time.items()
+    }
+
+
 def energy_spectrum(u: np.ndarray, period: float) -> tuple[np.ndarray, np.ndarray]:
     """Mean 1-D energy spectrum E(k) over all leading (ensemble/time) axes.
 

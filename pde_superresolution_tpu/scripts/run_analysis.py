@@ -1,0 +1,222 @@
+"""Turn a run_evaluation HDF5 artifact into the paper-style figures.
+
+The reference's downstream analysis — MAE-vs-time curves, survival-time
+distributions, spectra, space-time diagrams — lived in notebooks outside
+the three binaries (SURVEY.md §3.4 [LOW]: "happens in notebooks/analysis
+code outside the three binaries"). This CLI is the reproducible
+equivalent: it reads the HDF5 written by ``run_evaluation`` /
+``run_sweep`` and emits the figures plus the text report.
+
+Example:
+  python -m pde_superresolution_tpu.scripts.run_analysis \
+      --input_path=/tmp/eval.h5 --output_dir=/tmp/figs
+
+Figures (PNG):
+  mae.png       ensemble-mean MAE vs time per scheme (log y)
+  survival.png  fraction of ensemble still valid vs time per scheme
+  spectrum.png  time-averaged energy spectrum E(k), schemes vs exact
+  spacetime.png space-time diagrams u(x, t) of one sample, all schemes
+"""
+
+import os
+
+import numpy as np
+from absl import app, flags
+
+from pde_superresolution_tpu import analysis
+
+FLAGS = flags.FLAGS
+
+flags.DEFINE_string("input_path", None, "evaluation HDF5 artifact",
+                    required=True)
+flags.DEFINE_string("output_dir", None, "directory for figures",
+                    required=True)
+flags.DEFINE_float("period", 0.0,
+                   "domain period for the spectrum's wavenumber axis; "
+                   "0 = label the axis in cycles per domain instead")
+flags.DEFINE_integer("sample", 0, "ensemble member for the space-time plot")
+flags.DEFINE_integer("dpi", 150, "figure raster resolution")
+
+# Fixed scheme -> color assignment (identity, never cycled): the first
+# three slots of the validated categorical palette; the exact reference
+# is neutral ink (it is the ground truth, not a competing series).
+_SCHEME_COLORS = {
+    "model": "#2a78d6",     # blue
+    "baseline": "#eb6834",  # orange
+    "weno": "#1baf7a",      # aqua
+}
+_EXTRA_COLORS = ["#eda100", "#e87ba4", "#008300", "#4a3aa7", "#e34948"]
+_EXACT_COLOR = "#52514e"
+_SURFACE = "#fcfcfb"
+_GRID = "#e1e0d9"
+_MUTED = "#898781"
+_AXIS = "#c3c2b7"
+_INK = "#0b0b0b"
+
+
+def _color(name: str, fallback_idx: int) -> str:
+    if name in _SCHEME_COLORS:
+        return _SCHEME_COLORS[name]
+    return _EXTRA_COLORS[fallback_idx % len(_EXTRA_COLORS)]
+
+
+def _style_axes(ax):
+    ax.set_facecolor(_SURFACE)
+    ax.grid(True, color=_GRID, linewidth=0.8)
+    ax.set_axisbelow(True)
+    for side in ("top", "right"):
+        ax.spines[side].set_visible(False)
+    for side in ("left", "bottom"):
+        ax.spines[side].set_color(_AXIS)
+    ax.tick_params(colors=_MUTED, labelcolor=_MUTED)
+    ax.xaxis.label.set_color(_INK)
+    ax.yaxis.label.set_color(_INK)
+    ax.title.set_color(_INK)
+
+
+def make_figures(result, output_dir: str, period: float = 0.0,
+                 sample: int = 0, dpi: int = 150) -> list:
+    """Write the four figures for an EvalResult; returns the paths."""
+    import matplotlib
+
+    matplotlib.use("Agg")
+    import matplotlib.pyplot as plt
+
+    os.makedirs(output_dir, exist_ok=True)
+    paths = []
+    names = sorted(result.mae)
+    rel = np.asarray(result.times, dtype=np.float64)
+    rel = rel - rel[0]
+
+    # 1. MAE vs time: ensemble-median over members still valid (a member
+    # blowing up passes through astronomically large float values before
+    # reaching NaN, so an unconditioned mean is unreadable); the line ends
+    # once fewer than half the ensemble survives (beyond that the curve
+    # would describe a shrinking, survivor-biased subset).
+    fig, ax = plt.subplots(figsize=(6, 3.6), facecolor=_SURFACE)
+    for i, name in enumerate(names):
+        mae = np.asarray(result.mae[name], dtype=np.float64)
+        surv = np.asarray(result.survival_time[name], dtype=np.float64)
+        alive = (surv[:, None] >= rel[None, :]) & np.isfinite(mae)
+        masked = np.where(alive, mae, np.nan)
+        n_alive = alive.sum(axis=0)
+        med = np.full(rel.shape, np.nan)
+        ok = n_alive >= max(1, mae.shape[0] // 2)
+        if ok.any():
+            med[ok] = np.nanmedian(masked[:, ok], axis=0)
+        ax.plot(rel, med, color=_color(name, i), linewidth=2, label=name)
+    ax.set_yscale("log")
+    ax.set_xlabel("time since evaluation start")
+    ax.set_ylabel("median MAE vs exact (valid members)")
+    _style_axes(ax)
+    ax.legend(frameon=False, labelcolor=_INK)
+    fig.tight_layout()
+    p = os.path.join(output_dir, "mae.png")
+    fig.savefig(p, dpi=dpi, facecolor=_SURFACE)
+    plt.close(fig)
+    paths.append(p)
+
+    # 2. Survival curves (fraction of ensemble valid vs time).
+    fig, ax = plt.subplots(figsize=(6, 3.6), facecolor=_SURFACE)
+    for i, (name, (t, frac)) in enumerate(
+        sorted(analysis.survival_curves(result).items())
+    ):
+        ax.step(t, frac, where="post", color=_color(name, i), linewidth=2,
+                label=name)
+    ax.set_ylim(-0.02, 1.05)
+    ax.set_xlabel("time since evaluation start")
+    ax.set_ylabel("fraction of ensemble valid")
+    _style_axes(ax)
+    ax.legend(frameon=False, labelcolor=_INK)
+    fig.tight_layout()
+    p = os.path.join(output_dir, "survival.png")
+    fig.savefig(p, dpi=dpi, facecolor=_SURFACE)
+    plt.close(fig)
+    paths.append(p)
+
+    # 3. Energy spectra: exact vs schemes, averaged over all times and the
+    # members that stayed finite for the whole horizon.
+    fig, ax = plt.subplots(figsize=(6, 3.6), facecolor=_SURFACE)
+    nx = np.asarray(result.exact).shape[-1]
+    spec_period = period if period > 0 else float(nx)
+    k, e = analysis.energy_spectrum(np.asarray(result.exact), spec_period)
+    ax.loglog(k[1:], e[1:], color=_EXACT_COLOR, linewidth=2,
+              linestyle="--", label="exact")
+    for i, name in enumerate(names):
+        traj = np.asarray(result.trajectories[name], dtype=np.float64)
+        alive = np.isfinite(traj).all(axis=(1, 2))
+        if not alive.any():
+            continue
+        k, e = analysis.energy_spectrum(traj[alive], spec_period)
+        ax.loglog(k[1:], e[1:], color=_color(name, i), linewidth=2,
+                  label=name)
+    ax.set_xlabel(
+        "wavenumber k" if period > 0 else "wavenumber (cycles/domain scale)"
+    )
+    ax.set_ylabel("E(k)")
+    _style_axes(ax)
+    ax.legend(frameon=False, labelcolor=_INK)
+    fig.tight_layout()
+    p = os.path.join(output_dir, "spectrum.png")
+    fig.savefig(p, dpi=dpi, facecolor=_SURFACE)
+    plt.close(fig)
+    paths.append(p)
+
+    # 4. Space-time diagrams of one member: exact + every scheme, shared
+    # symmetric diverging scale (u is signed; blue <-> red, neutral mid).
+    panels = [("exact", np.asarray(result.exact)[sample])]
+    panels += [
+        (name, np.asarray(result.trajectories[name])[sample])
+        for name in names
+    ]
+    vmax = float(np.nanmax(np.abs(panels[0][1]))) or 1.0
+    fig, axes = plt.subplots(
+        1, len(panels), figsize=(3.2 * len(panels), 3.6),
+        facecolor=_SURFACE, sharey=True,
+    )
+    for ax, (name, u) in zip(np.atleast_1d(axes), panels):
+        u = np.where(np.isfinite(u), u, 0.0)
+        ax.imshow(
+            u, aspect="auto", origin="lower", cmap="RdBu_r",
+            vmin=-vmax, vmax=vmax,
+            extent=(0, u.shape[1], float(rel[0]), float(rel[-1])),
+        )
+        ax.set_title(name)
+        ax.set_xlabel("x (grid index)")
+        ax.tick_params(colors=_MUTED, labelcolor=_MUTED)
+        ax.title.set_color(_INK)
+        ax.xaxis.label.set_color(_INK)
+    np.atleast_1d(axes)[0].set_ylabel("time")
+    np.atleast_1d(axes)[0].yaxis.label.set_color(_INK)
+    fig.tight_layout()
+    p = os.path.join(output_dir, "spacetime.png")
+    fig.savefig(p, dpi=dpi, facecolor=_SURFACE)
+    plt.close(fig)
+    paths.append(p)
+
+    return paths
+
+
+def main(argv):
+    del argv
+    # Post-processing never needs the accelerator; force CPU so this CLI
+    # can run alongside a TPU job (the axon plugin ignores JAX_PLATFORMS —
+    # DECISIONS.md — so the config call is the only reliable way).
+    import jax
+
+    jax.config.update("jax_platforms", "cpu")
+    result = analysis.load_eval_h5(FLAGS.input_path)
+    print(analysis.report(result))
+    paths = make_figures(
+        result,
+        FLAGS.output_dir,
+        period=FLAGS.period,
+        sample=FLAGS.sample,
+        dpi=FLAGS.dpi,
+    )
+    for p in paths:
+        print("wrote", p)
+
+
+if __name__ == "__main__":
+    app.run(main)

@@ -41,3 +41,43 @@ def test_energy_spectrum_single_mode():
 def test_report_contains_schemes():
     text = analysis.report(_fake_result())
     assert "m" in text and "survival" in text
+
+
+def test_survival_curves_fractions():
+    # survival times [1.0, 0.5, 0.75] on grid [0, .25, .5, .75, 1]:
+    # frac(t) = P(survival >= t)
+    t, frac = analysis.survival_curves(_fake_result())["m"]
+    np.testing.assert_allclose(t, [0, 0.25, 0.5, 0.75, 1.0])
+    np.testing.assert_allclose(frac, [1.0, 1.0, 1.0, 2 / 3, 1 / 3])
+
+
+def test_make_figures_and_cli(tmp_path):
+    """run_analysis end to end: save an EvalResult, produce all figures."""
+    from pde_superresolution_tpu import evaluate as eval_lib
+    from pde_superresolution_tpu.scripts import run_analysis
+
+    rng = np.random.RandomState(0)
+    times = jnp.linspace(0.0, 1.0, 5)
+    exact = jnp.asarray(rng.randn(3, 5, 16))
+    traj = {
+        "model": exact + 0.01 * rng.randn(3, 5, 16),
+        "baseline": exact + 0.1 * rng.randn(3, 5, 16),
+    }
+    mae = {k: jnp.abs(v - exact).mean(-1) for k, v in traj.items()}
+    corr = {k: jnp.ones((3, 5)) for k in traj}
+    surv = {k: jnp.asarray([1.0, 0.5, 0.75]) for k in traj}
+    result = EvalResult(times, exact, traj, mae, corr, surv)
+    h5 = str(tmp_path / "eval.h5")
+    eval_lib.save_eval_h5(h5, result)
+
+    out = str(tmp_path / "figs")
+    paths = run_analysis.make_figures(
+        analysis.load_eval_h5(h5), out, period=2 * np.pi, dpi=50
+    )
+    import os
+
+    assert [os.path.basename(p) for p in paths] == [
+        "mae.png", "survival.png", "spectrum.png", "spacetime.png",
+    ]
+    for p in paths:
+        assert os.path.getsize(p) > 1000, p
