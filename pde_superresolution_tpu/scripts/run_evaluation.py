@@ -23,8 +23,12 @@ from pde_superresolution_tpu.training import loop as loop_lib
 
 FLAGS = flags.FLAGS
 
-flags.DEFINE_string("checkpoint_dir", None, "trained model checkpoint",
-                    required=True)
+flags.DEFINE_string("checkpoint_dir", None,
+                    "trained model checkpoint (or use --exported_dir)")
+flags.DEFINE_string(
+    "exported_dir", None,
+    "serving artifact from run_export; evaluates the FROZEN StableHLO "
+    "graph instead of a live checkpoint — the serving-parity path")
 flags.DEFINE_string("output_path", None, "HDF5 output path", required=True)
 flags.DEFINE_integer("num_samples", 16, "ensemble size (matched ICs)")
 flags.DEFINE_float("time_max", 10.0, "evaluation horizon")
@@ -50,14 +54,36 @@ flags.DEFINE_integer(
 
 def main(argv):
     del argv
-    model, params, config = loop_lib.load_model(FLAGS.checkpoint_dir)
-    equation = model.equation
-    fine = Grid(config.fine_size, equation.period)
-    coarse = model.grid
+    if bool(FLAGS.checkpoint_dir) == bool(FLAGS.exported_dir):
+        raise app.UsageError(
+            "pass exactly one of --checkpoint_dir / --exported_dir")
+    if FLAGS.exported_dir:
+        from pde_superresolution_tpu import equations
+        from pde_superresolution_tpu import export as export_lib
 
-    baseline_size = FLAGS.baseline_stencil_size or model.config.stencil_size
+        served = export_lib.load_served_model(FLAGS.exported_dir)
+        meta = served.meta
+        equation = equations.from_name(
+            meta["equation"], conservative=meta["conservative"],
+            **meta.get("equation_params", {}))
+        resample_factor = meta["resample_factor"]
+        fine = Grid(meta["fine_size"], equation.period)
+        coarse = fine.resample(
+            resample_factor, conservative=equation.conservative)
+        model_rhs = served.rhs_fn
+        model_stencil_size = meta.get("stencil_size", 0)
+    else:
+        model, params, config = loop_lib.load_model(FLAGS.checkpoint_dir)
+        equation = model.equation
+        resample_factor = config.resample_factor
+        fine = Grid(config.fine_size, equation.period)
+        coarse = model.grid
+        model_rhs = lambda forcing: model.rhs_fn(params, forcing)
+        model_stencil_size = model.config.stencil_size
+
+    baseline_size = FLAGS.baseline_stencil_size or model_stencil_size
     schemes = {
-        "model": lambda forcing: model.rhs_fn(params, forcing),
+        "model": model_rhs,
         "baseline": lambda forcing: integrate.PolynomialDifferentiator(
             equation, coarse, stencil_size=baseline_size
         ).rhs_fn(forcing),
@@ -70,7 +96,7 @@ def main(argv):
     result = eval_lib.evaluate(
         equation,
         fine,
-        config.resample_factor,
+        resample_factor,
         schemes,
         key=jax.random.PRNGKey(FLAGS.seed),
         num_samples=FLAGS.num_samples,

@@ -1,0 +1,196 @@
+"""Serving-export tests: frozen StableHLO artifacts reproduce the live model.
+
+≈ the reference's SavedModel restore coverage (integrate.py
+§SavedModelDifferentiator, unverified — SURVEY.md), TPU-flavored: the
+artifact is multi-platform (cpu+tpu) StableHLO with a symbolic batch dim,
+and the loader needs no model code.
+"""
+
+import numpy as np
+import pytest
+import jax
+import jax.numpy as jnp
+
+from pde_superresolution_tpu import equations, export, integrate
+from pde_superresolution_tpu.grids import Grid
+from pde_superresolution_tpu.models import ModelConfig, StencilModel
+
+
+def _make_model(name, conservative=True, nx=128):
+    eq = equations.from_name(name, conservative=conservative)
+    grid = Grid(nx, eq.period)
+    model = StencilModel(
+        eq, grid, ModelConfig(num_layers=2, filters=8, stencil_size=6)
+    )
+    params = model.init_params(jax.random.PRNGKey(0))
+    # non-zero params so the test exercises the learned path, not c0
+    params = jax.tree.map(
+        lambda l: jax.random.normal(jax.random.PRNGKey(2), l.shape) * 0.05,
+        params,
+    )
+    return model, params
+
+
+@pytest.fixture(scope="module")
+def ks_artifact(tmp_path_factory):
+    model, params = _make_model("ks")
+    path = str(tmp_path_factory.mktemp("export") / "ks")
+    meta = export.export_and_save(model, params, path, num_steps=4)
+    return model, params, path, meta
+
+
+class TestRoundTrip:
+    def test_rhs_matches_live_model(self, ks_artifact):
+        model, params, path, _ = ks_artifact
+        served = export.load_served_model(path)
+        u = model.equation.initial_conditions(
+            jax.random.PRNGKey(1), model.grid, (5,)
+        )
+        live = model.rhs_fn(params, use_pallas=False)(u, 0.3)
+        frozen = served.rhs_fn()(u, 0.3)
+        np.testing.assert_allclose(
+            np.asarray(live), np.asarray(frozen), atol=2e-4
+        )
+
+    def test_symbolic_batch_serves_any_ensemble_size(self, ks_artifact):
+        model, params, path, _ = ks_artifact
+        served = export.load_served_model(path)
+        rhs = served.rhs_fn()
+        for batch in [(1,), (3,), (2, 5)]:
+            u = model.equation.initial_conditions(
+                jax.random.PRNGKey(1), model.grid, batch
+            )
+            assert rhs(u, 0.0).shape == u.shape
+        # 1-D input round-trips through the symbolic batch dim
+        u1 = model.equation.initial_conditions(
+            jax.random.PRNGKey(1), model.grid
+        )
+        assert rhs(u1, 0.0).shape == u1.shape
+
+    def test_step_artifact_matches_integrate(self, ks_artifact):
+        model, params, path, meta = ks_artifact
+        served = export.load_served_model(path)
+        u = model.equation.initial_conditions(
+            jax.random.PRNGKey(1), model.grid, (4,)
+        )
+        _, traj = integrate.integrate(
+            model.rhs_fn(params, use_pallas=False),
+            u,
+            meta["dt"],
+            meta["num_steps"],
+            save_every=meta["num_steps"],
+            t0=0.3,
+        )
+        got, t_next = served.advance(u, 0.3)
+        np.testing.assert_allclose(
+            np.asarray(traj[-1]), np.asarray(got), atol=2e-4
+        )
+        assert t_next == pytest.approx(0.3 + meta["dt"] * meta["num_steps"])
+
+    def test_plugs_into_integrate(self, ks_artifact):
+        """A served model is a drop-in RHS for the library integrator."""
+        model, params, path, meta = ks_artifact
+        served = export.load_served_model(path)
+        u = model.equation.initial_conditions(
+            jax.random.PRNGKey(1), model.grid, (2,)
+        )
+        _, traj = integrate.integrate(served.rhs_fn(), u, meta["dt"], 8)
+        assert bool(jnp.isfinite(traj).all())
+        assert served.rhs_fn().conservative == model.equation.conservative
+
+
+class TestForced:
+    def test_forcing_is_a_call_argument(self, tmp_path):
+        model, params = _make_model("burgers")
+        path = str(tmp_path / "b")
+        export.export_and_save(model, params, path, num_steps=2)
+        served = export.load_served_model(path)
+        u = model.equation.initial_conditions(
+            jax.random.PRNGKey(1), model.grid, (3,)
+        )
+        for seed in [3, 4]:  # one artifact serves arbitrary forcing draws
+            f = model.equation.sample_forcing(jax.random.PRNGKey(seed), (3,))
+            live = model.rhs_fn(params, f, use_pallas=False)(u, 0.7)
+            frozen = served.rhs_fn(f)(u, 0.7)
+            np.testing.assert_allclose(
+                np.asarray(live), np.asarray(frozen), atol=2e-4
+            )
+
+    def test_unbatched_forcing_broadcasts(self, tmp_path):
+        model, params = _make_model("burgers")
+        path = str(tmp_path / "b")
+        export.export_and_save(model, params, path)
+        served = export.load_served_model(path)
+        u = model.equation.initial_conditions(
+            jax.random.PRNGKey(1), model.grid, (3,)
+        )
+        f = model.equation.sample_forcing(jax.random.PRNGKey(3))  # [terms]
+        live = model.rhs_fn(params, f, use_pallas=False)(u, 0.0)
+        frozen = served.rhs_fn(f)(u, 0.0)
+        np.testing.assert_allclose(
+            np.asarray(live), np.asarray(frozen), atol=2e-4
+        )
+
+    def test_forcing_required_and_rejected(self, tmp_path):
+        model, params = _make_model("burgers")
+        path = str(tmp_path / "b")
+        export.export_and_save(model, params, path)
+        served = export.load_served_model(path)
+        u = model.equation.initial_conditions(
+            jax.random.PRNGKey(1), model.grid, (3,)
+        )
+        with pytest.raises(ValueError, match="requires forcing"):
+            served.rhs_fn()(u, 0.0)
+
+        ks_model, ks_params = _make_model("ks")
+        ks_path = str(tmp_path / "ks")
+        export.export_and_save(ks_model, ks_params, ks_path)
+        ks_served = export.load_served_model(ks_path)
+        f = model.equation.sample_forcing(jax.random.PRNGKey(3), (3,))
+        uk = ks_model.equation.initial_conditions(
+            jax.random.PRNGKey(1), ks_model.grid, (3,)
+        )
+        with pytest.raises(ValueError, match="does not take forcing"):
+            ks_served.rhs_fn(f)(uk, 0.0)
+
+
+class TestValidation:
+    def test_wrong_grid_size_raises(self, ks_artifact):
+        _, _, path, _ = ks_artifact
+        served = export.load_served_model(path)
+        with pytest.raises(ValueError, match="grid points"):
+            served.rhs_fn()(jnp.zeros((2, 64)), 0.0)
+
+    def test_missing_step_artifact_raises(self, tmp_path):
+        model, params = _make_model("ks")
+        path = str(tmp_path / "nostep")
+        export.export_and_save(model, params, path, num_steps=0)
+        served = export.load_served_model(path)
+        u = jnp.zeros((2, model.grid.size))
+        with pytest.raises(ValueError, match="without a step function"):
+            served.advance(u, 0.0)
+
+    def test_newer_format_version_refused(self, tmp_path, ks_artifact):
+        import json
+        import os
+        import shutil
+
+        _, _, path, _ = ks_artifact
+        clone = str(tmp_path / "future")
+        shutil.copytree(path, clone)
+        meta_path = os.path.join(clone, "meta.json")
+        with open(meta_path) as f:
+            meta = json.load(f)
+        meta["format_version"] = export.FORMAT_VERSION + 1
+        with open(meta_path, "w") as f:
+            json.dump(meta, f)
+        with pytest.raises(ValueError, match="newer"):
+            export.load_served_model(clone)
+
+    def test_artifact_declares_tpu_lowering(self, ks_artifact):
+        """The default export carries a tpu lowering even when built on CPU
+        (cross-platform serialization is the point of jax.export here)."""
+        _, _, path, meta = ks_artifact
+        assert "tpu" in meta["platforms"]
+        served = export.load_served_model(path)
+        assert "tpu" in served.meta["platforms"]

@@ -89,6 +89,40 @@ class TestCLIPipeline:
         assert os.path.exists(out_path)
         assert "model" in out and "baseline" in out and "weno" in out
 
+    def test_export_then_serving_evaluation(self, pipeline_dirs):
+        """run_export freezes the checkpoint; run_evaluation --exported_dir
+        evaluates the FROZEN StableHLO artifact without touching it."""
+        _, ckpt, root = pipeline_dirs
+        export_dir = str(root / "export")
+        out = run_cli(
+            "run_export",
+            [f"--checkpoint_dir={ckpt}", f"--output_dir={export_dir}",
+             "--num_steps=2"],
+        )
+        summary = json.loads(out.strip().splitlines()[-1])
+        assert summary["max_abs_err"] <= 1e-5
+        assert summary["num_steps"] == 2
+        assert os.path.exists(os.path.join(export_dir, "rhs.stablehlo"))
+        assert os.path.exists(os.path.join(export_dir, "step.stablehlo"))
+
+        out_path = str(root / "eval_served.h5")
+        out = run_cli(
+            "run_evaluation",
+            [f"--exported_dir={export_dir}", f"--output_path={out_path}",
+             "--num_samples=2", "--time_max=0.3", "--time_delta=0.1"],
+        )
+        assert os.path.exists(out_path)
+        assert "model" in out and "baseline" in out
+
+    def test_evaluation_requires_exactly_one_model_source(self, pipeline_dirs):
+        _, ckpt, root = pipeline_dirs
+        with pytest.raises(AssertionError):
+            run_cli(
+                "run_evaluation",
+                [f"--output_path={root}/x.h5", "--num_samples=2",
+                 "--time_max=0.2"],
+            )
+
     def test_ensemble(self, pipeline_dirs):
         _, ckpt, _ = pipeline_dirs
         out = run_cli(
