@@ -271,3 +271,33 @@ class ServedModel:
 
 def load_served_model(path: str) -> ServedModel:
     return ServedModel(path)
+
+
+def science_context(meta: dict):
+    """Rebuild ``(equation, fine_grid, coarse_grid)`` from artifact metadata.
+
+    The frozen graph carries no Python objects, but the science pipeline
+    around it (ICs, warmup solves, CFL steps, evaluation) needs the equation
+    and the exact grid geometry the model was trained on — including the
+    half-cell origin shift of conservative coarse grids, which is why the
+    coarse grid is reconstructed by resampling the fine one rather than
+    built directly from ``nx``/``dx``.
+    """
+    from pde_superresolution_tpu import equations
+    from pde_superresolution_tpu.grids import Grid
+
+    equation = equations.from_name(
+        meta["equation"],
+        conservative=meta["conservative"],
+        **meta.get("equation_params", {}),
+    )
+    fine = Grid(meta["fine_size"], equation.period)
+    coarse = fine.resample(
+        meta["resample_factor"], conservative=equation.conservative
+    )
+    if coarse.size != meta["nx"]:
+        raise ValueError(
+            f"inconsistent artifact metadata: fine_size/resample_factor give "
+            f"{coarse.size} coarse points but nx is {meta['nx']}"
+        )
+    return equation, fine, coarse

@@ -23,8 +23,15 @@ from pde_superresolution_tpu.training import loop as loop_lib
 
 FLAGS = flags.FLAGS
 
-flags.DEFINE_string("checkpoint_dir", None, "trained model checkpoint",
-                    required=True)
+flags.DEFINE_string("checkpoint_dir", None,
+                    "trained model checkpoint (or use --exported_dir)")
+flags.DEFINE_string(
+    "exported_dir", None,
+    "serving artifact from run_export; integrates the ensemble with the "
+    "FROZEN StableHLO graph (no model code or checkpoint needed). The "
+    "Mosaic fused path needs live parameters, so this serves via the XLA "
+    "scan; --data_parallel still shards the frozen graph (GSPMD partitions "
+    "the exported call's symbolic batch dim directly)")
 flags.DEFINE_integer("num_trajectories", 10240, "ensemble size")
 flags.DEFINE_float("time_max", 10.0, "integration horizon")
 flags.DEFINE_float("warmup_time", 0.0,
@@ -52,9 +59,25 @@ flags.DEFINE_integer(
 
 def main(argv):
     del argv
-    model, params, config = loop_lib.load_model(FLAGS.checkpoint_dir)
-    equation = model.equation
-    coarse = model.grid
+    if bool(FLAGS.checkpoint_dir) == bool(FLAGS.exported_dir):
+        raise app.UsageError(
+            "pass exactly one of --checkpoint_dir / --exported_dir")
+    served = None
+    if FLAGS.exported_dir:
+        from pde_superresolution_tpu import export as export_lib
+
+        if FLAGS.fused == "true":
+            raise ValueError(
+                "--fused=true needs live model parameters (the Mosaic "
+                "kernel is built from them); a frozen artifact serves via "
+                "the XLA scan — pass --checkpoint_dir or drop --fused"
+            )
+        served = export_lib.load_served_model(FLAGS.exported_dir)
+        equation, _, coarse = export_lib.science_context(served.meta)
+    else:
+        model, params, config = loop_lib.load_model(FLAGS.checkpoint_dir)
+        equation = model.equation
+        coarse = model.grid
     n = FLAGS.num_trajectories
 
     key, k_f = jax.random.split(jax.random.PRNGKey(FLAGS.seed))
@@ -103,7 +126,7 @@ def main(argv):
             "integrator drives single RK4 steps (drop one of the two flags)"
         )
     fused_tiles = []
-    if FLAGS.fused != "false" and not FLAGS.output_path:
+    if served is None and FLAGS.fused != "false" and not FLAGS.output_path:
         # whole-interval Mosaic kernel: every RK4 step between snapshots
         # stays in VMEM (models.StencilModel.fused_rk4_fn); in-kernel
         # rotated-phase forcing for forced equations. Under --data_parallel
@@ -134,9 +157,14 @@ def main(argv):
     # OFF — it would lower a Mosaic custom call inside the GSPMD-sharded
     # jit, which GSPMD cannot partition (the sharded fused path above goes
     # through shard_map instead).
-    rhs = model.rhs_fn(
-        params, forcing, use_pallas=False if FLAGS.data_parallel else None
-    )
+    if served is not None:
+        # frozen StableHLO graph; its symbolic batch dim lets GSPMD shard
+        # the exported call over the data axis with no special casing
+        rhs = served.rhs_fn(forcing)
+    else:
+        rhs = model.rhs_fn(
+            params, forcing, use_pallas=False if FLAGS.data_parallel else None
+        )
 
     # NOTE: t0 is the PHYSICAL start time (warmup end) — the forcing phase
     # must continue across the warmup handoff. Keep the wall-clock timer in
@@ -200,6 +228,8 @@ def main(argv):
     path = "fused kernel" if advance is not None else (
         "resumable XLA scan" if FLAGS.output_path else "XLA scan"
     )
+    if served is not None:
+        path = "frozen artifact, " + path
     if FLAGS.data_parallel:
         path += f", dp={FLAGS.data_parallel}"
     print(

@@ -58,20 +58,13 @@ def main(argv):
         raise app.UsageError(
             "pass exactly one of --checkpoint_dir / --exported_dir")
     if FLAGS.exported_dir:
-        from pde_superresolution_tpu import equations
         from pde_superresolution_tpu import export as export_lib
 
         served = export_lib.load_served_model(FLAGS.exported_dir)
-        meta = served.meta
-        equation = equations.from_name(
-            meta["equation"], conservative=meta["conservative"],
-            **meta.get("equation_params", {}))
-        resample_factor = meta["resample_factor"]
-        fine = Grid(meta["fine_size"], equation.period)
-        coarse = fine.resample(
-            resample_factor, conservative=equation.conservative)
+        equation, fine, coarse = export_lib.science_context(served.meta)
+        resample_factor = served.meta["resample_factor"]
         model_rhs = served.rhs_fn
-        model_stencil_size = meta.get("stencil_size", 0)
+        model_stencil_size = served.meta.get("stencil_size", 0)
     else:
         model, params, config = loop_lib.load_model(FLAGS.checkpoint_dir)
         equation = model.equation

@@ -154,6 +154,75 @@ class TestForced:
             ks_served.rhs_fn(f)(uk, 0.0)
 
 
+class TestParallel:
+    """Frozen artifacts are DP-servable: the symbolic batch dim means both
+    shard_map (explicit per-device call) and plain GSPMD (sharded jit of the
+    exported call) partition over the data axis with no special casing —
+    the serving analogue of training-side trajectory DP (SURVEY §2.2)."""
+
+    def test_shard_map_and_gspmd_match_unsharded(self, ks_artifact):
+        from jax import shard_map
+        from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+        model, _, path, _ = ks_artifact
+        served = export.load_served_model(path)
+        rhs = served.rhs_fn()
+        u = model.equation.initial_conditions(
+            jax.random.PRNGKey(1), model.grid, (16,)
+        )
+        ref = np.asarray(rhs(u, 0.5))
+        mesh = Mesh(np.array(jax.devices()).reshape(-1), ("data",))
+
+        sharded = shard_map(
+            lambda x: rhs(x, 0.5), mesh=mesh,
+            in_specs=P("data"), out_specs=P("data"),
+        )
+        np.testing.assert_array_equal(np.asarray(jax.jit(sharded)(u)), ref)
+
+        u_sh = jax.device_put(u, NamedSharding(mesh, P("data")))
+        out = jax.jit(lambda x: rhs(x, 0.5))(u_sh)
+        assert len(out.sharding.device_set) == len(jax.devices())
+        np.testing.assert_array_equal(np.asarray(out), ref)
+
+    def test_advance_under_shard_map(self, ks_artifact):
+        from jax import shard_map
+        from jax.sharding import Mesh, PartitionSpec as P
+
+        model, _, path, _ = ks_artifact
+        served = export.load_served_model(path)
+        u = model.equation.initial_conditions(
+            jax.random.PRNGKey(1), model.grid, (16,)
+        )
+        ref = np.asarray(served.advance(u, 0.0)[0])
+        mesh = Mesh(np.array(jax.devices()).reshape(-1), ("data",))
+        sharded = shard_map(
+            lambda x: served.advance(x, 0.0)[0], mesh=mesh,
+            in_specs=P("data"), out_specs=P("data"),
+        )
+        np.testing.assert_array_equal(np.asarray(jax.jit(sharded)(u)), ref)
+
+
+class TestScienceContext:
+    def test_reconstructs_conservative_grid_origin(self, ks_artifact):
+        model, _, path, _ = ks_artifact
+        served = export.load_served_model(path)
+        # ks_artifact was built on a bare Grid; patch metadata to a real
+        # trained-config shape to exercise the resample reconstruction
+        meta = dict(served.meta, fine_size=512, resample_factor=4, nx=128)
+        equation, fine, coarse = export.science_context(meta)
+        assert coarse.size == 128
+        expected = fine.resample(4, conservative=True)
+        assert coarse.origin == expected.origin != 0.0
+        assert equation.conservative
+
+    def test_inconsistent_metadata_raises(self, ks_artifact):
+        _, _, path, _ = ks_artifact
+        served = export.load_served_model(path)
+        meta = dict(served.meta, fine_size=512, resample_factor=8, nx=128)
+        with pytest.raises(ValueError, match="inconsistent"):
+            export.science_context(meta)
+
+
 class TestValidation:
     def test_wrong_grid_size_raises(self, ks_artifact):
         _, _, path, _ = ks_artifact

@@ -23,7 +23,16 @@ TINY_HPARAMS = (
 )
 
 
-def run_cli(module: str, argv: list[str], timeout: int = 300) -> str:
+def run_cli(module: str, argv: list[str], timeout: int = 300,
+            expect_error: str | None = None) -> str:
+    """Run a script in a CPU subprocess; returns its stdout.
+
+    With ``expect_error``, the script must FAIL and its stderr must contain
+    the given substring (checked here rather than with pytest.raises/match
+    because assertion rewriting truncates long assert messages, hiding the
+    interesting part of a subprocess traceback from ``match=``); returns
+    stderr instead.
+    """
     code = (
         "import jax; jax.config.update('jax_platforms', 'cpu');"
         "import sys, runpy;"
@@ -41,6 +50,10 @@ def run_cli(module: str, argv: list[str], timeout: int = 300) -> str:
         env=env,
         cwd=REPO,
     )
+    if expect_error is not None:
+        assert proc.returncode != 0, proc.stdout[-2000:]
+        assert expect_error in proc.stderr, proc.stderr[-2000:]
+        return proc.stderr
     assert proc.returncode == 0, (proc.stdout[-2000:], proc.stderr[-2000:])
     return proc.stdout
 
@@ -113,6 +126,39 @@ class TestCLIPipeline:
         )
         assert os.path.exists(out_path)
         assert "model" in out and "baseline" in out
+
+    @pytest.fixture(scope="class")
+    def exported_ensemble_dir(self, pipeline_dirs):
+        _, ckpt, root = pipeline_dirs
+        export_dir = str(root / "export_ens")
+        run_cli(
+            "run_export",
+            [f"--checkpoint_dir={ckpt}", f"--output_dir={export_dir}",
+             "--num_steps=0"],
+        )
+        return export_dir
+
+    def test_ensemble_serves_frozen_artifact_data_parallel(
+        self, exported_ensemble_dir
+    ):
+        """run_ensemble --exported_dir integrates the frozen graph, sharded
+        over the 8-device mesh (GSPMD partitions the exported call)."""
+        out = run_cli(
+            "run_ensemble",
+            [f"--exported_dir={exported_ensemble_dir}",
+             "--num_trajectories=16", "--time_max=0.2", "--num_saves=2",
+             "--data_parallel=8"],
+        )
+        assert "frozen artifact" in out and "dp=8" in out
+        assert "finite: 16/16" in out
+
+    def test_ensemble_exported_rejects_fused_true(self, exported_ensemble_dir):
+        run_cli(
+            "run_ensemble",
+            [f"--exported_dir={exported_ensemble_dir}",
+             "--num_trajectories=8", "--time_max=0.2", "--fused=true"],
+            expect_error="live model parameters",
+        )
 
     def test_evaluation_requires_exactly_one_model_source(self, pipeline_dirs):
         _, ckpt, root = pipeline_dirs
