@@ -49,6 +49,13 @@ class TrainingConfig:
     # the scheme stabilizes is the standard fix.
     unroll_curriculum: tuple = ()
     curriculum_stops: tuple = ()
+    # Rollout-noise injection (train-time only): Gaussian noise of std
+    # ``rollout_noise * rms(u)`` (per sample) added to the INITIAL state of
+    # the unrolled-loss rollout, while targets stay the clean snapshots —
+    # the scheme is trained to pull a perturbed trajectory back to the true
+    # one (the standard drift-correction trick for learned solvers). Eval
+    # losses are always computed clean. 0 = off (bit-identical to before).
+    rollout_noise: float = 0.0
     # coarse RK4 substeps per snapshot interval in the unrolled loss;
     # 0 = auto from the equation's stable_time_step on the coarse grid
     coarse_time_subsample: int = 0

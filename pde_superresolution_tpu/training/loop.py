@@ -70,6 +70,14 @@ _RESUME_MUTABLE = frozenset(
 )
 
 
+def _noise_key(config: TrainingConfig, step: int) -> jax.Array:
+    """Per-step rollout-noise key, a pure function of (seed, step) so that
+    resumed runs replay the exact noise stream of an uninterrupted one
+    (mirrors the batch-index convention above). The offset decorrelates it
+    from the data_seed/seed PRNGKey streams used for ICs and init."""
+    return jax.random.fold_in(jax.random.PRNGKey(config.seed + 0x6E01), step)
+
+
 def _restore_state(ckpt_mgr, state: TrainState, config: TrainingConfig):
     """Restore the latest step's state, validating the live config against
     the one embedded in the checkpoint.
@@ -285,12 +293,16 @@ def train(
             dt=dt,
             unroll_steps=unroll_k,
             substeps=substeps,
+            rollout_noise=config.rollout_noise,
         )
 
         @jax.jit
-        def train_step(state: TrainState, batch: data_lib.TrainingData):
+        def train_step(
+            state: TrainState, batch: data_lib.TrainingData, noise_key
+        ):
             (_, parts), grads = jax.value_and_grad(
-                lambda p: loss_fn(p, batch), has_aux=True
+                lambda p: loss_fn(p, batch, noise_key=noise_key),
+                has_aux=True,
             )(state.params)
             updates, opt_state = tx.update(grads, state.opt_state, state.params)
             params = optax.apply_updates(state.params, updates)
@@ -298,6 +310,7 @@ def train(
 
         @jax.jit
         def eval_step(params, batch):
+            # eval is always CLEAN: noise_key=None disables injection
             _, parts = loss_fn(params, batch)
             return parts
 
@@ -326,7 +339,9 @@ def train(
                 0, n_train, size=config.batch_size
             )
             batch = shard_batch(_slice_batch(train_set, jnp.asarray(idx)))
-            state, parts = train_step(state, batch)
+            # pure function of (seed, step), like the batch stream, so a
+            # resumed run replays identical noise draws
+            state, parts = train_step(state, batch, _noise_key(config, step))
 
             if (step + 1) % config.eval_interval == 0 or step + 1 == phase_end:
                 eval_parts = eval_step(state.params, shard_batch(eval_set))
@@ -459,12 +474,16 @@ def _train_on_trajectories(
             dt=dt,
             unroll_steps=unroll_k,
             substeps=substeps,
+            rollout_noise=config.rollout_noise,
         )
 
         @jax.jit
-        def train_step(state: TrainState, batch: data_lib.TrainingData):
+        def train_step(
+            state: TrainState, batch: data_lib.TrainingData, noise_key
+        ):
             (_, parts), grads = jax.value_and_grad(
-                lambda p: loss_fn(p, batch), has_aux=True
+                lambda p: loss_fn(p, batch, noise_key=noise_key),
+                has_aux=True,
             )(state.params)
             updates, opt_state = tx.update(grads, state.opt_state, state.params)
             params = optax.apply_updates(state.params, updates)
@@ -472,6 +491,7 @@ def _train_on_trajectories(
 
         @jax.jit
         def eval_step(params, batch):
+            # eval is always CLEAN: noise_key=None disables injection
             return loss_fn(params, batch)[1]
 
         return train_step, eval_step
@@ -494,7 +514,7 @@ def _train_on_trajectories(
         for step in range(int(state.step), phase_end):
             rng = np.random.RandomState(config.seed * 100003 + step)
             batch = shard_batch(draw(rng, train_pool, config.batch_size))
-            state, parts = train_step(state, batch)
+            state, parts = train_step(state, batch, _noise_key(config, step))
             if (step + 1) % config.eval_interval == 0 or step + 1 == phase_end:
                 eval_parts = eval_step(state.params, shard_batch(eval_batch))
                 metrics = {

@@ -223,6 +223,8 @@ def compute_loss(
     unroll_steps: int,
     substeps: int = 1,
     use_pallas: bool = False,
+    rollout_noise: float = 0.0,
+    noise_key: jnp.ndarray | None = None,
 ) -> tuple[jnp.ndarray, dict]:
     """Total weighted loss + per-target breakdown for logging. Jit-able.
 
@@ -284,11 +286,24 @@ def compute_loss(
         # clip). The XLA rollout therefore stays the default training
         # path; the knob exists for future shapes where the balance flips.
         rhs = model.rhs_fn(params, forcing, use_pallas=use_pallas)
+        # Rollout-noise injection (train-time): perturb the rollout's
+        # INITIAL state with Gaussian noise of std rollout_noise*rms(u)
+        # per sample, keeping the clean snapshots as targets — the scheme
+        # learns to contract accumulated error back onto the true
+        # trajectory instead of only propagating clean states. The
+        # derivative/time-derivative targets above stay clean (they are
+        # pointwise consistency constraints, not stability ones).
+        u0 = u
+        if rollout_noise > 0.0 and noise_key is not None:  # static branch
+            rms = jnp.sqrt(jnp.mean(u * u, axis=-1, keepdims=True))
+            u0 = u + rollout_noise * rms * jax.random.normal(
+                noise_key, u.shape, u.dtype
+            )
         # substeps decouple the snapshot spacing from the coarse CFL limit:
         # comparisons happen only every `substeps` inner RK4 steps, so the
         # rollout stays inside the stable region regardless of how the data
         # was sampled. See rollout_states for the clip/remat story.
-        states = rollout_states(rhs, u, t, dt, substeps, unroll_steps)
+        states = rollout_states(rhs, u0, t, dt, substeps, unroll_steps)
         base_states = None
         if use_rel:
 
@@ -297,7 +312,12 @@ def compute_loss(
                     ut_, model.baseline_derivatives(ut_), model.grid, t_, forcing
                 )
 
-            base_states = rollout_states(base_rhs, u, t, dt, substeps, unroll_steps)
+            # the relative form's normalizer starts from the SAME perturbed
+            # state: it measures how much better the model recovers from
+            # the identical perturbation, keeping the comparison fair
+            base_states = rollout_states(
+                base_rhs, u0, t, dt, substeps, unroll_steps
+            )
         int_loss = 0.0
         for k in range(unroll_steps):
             part = mix(

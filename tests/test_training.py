@@ -158,6 +158,84 @@ class TestDataPipeline:
         )
         assert float(loss_d) == float(loss_abs)
 
+    def test_rollout_noise_perturbs_only_the_integrated_target(self):
+        """rollout_noise injects noise into the rollout's initial state:
+        the integrated parts change, the pointwise consistency targets
+        (derivatives, time derivative) stay bit-identical, and
+        rollout_noise=0 / noise_key=None are exact no-ops."""
+        eq = equations.from_name("burgers", conservative=True)
+        fine = Grid(64, eq.period)
+        snaps = generate_snapshots(
+            eq, fine, jax.random.PRNGKey(0), num_trajectories=2, num_times=8,
+            time_delta=0.05,
+        )
+        data = build_training_data(eq, fine, snaps, resample_factor=4, unroll_steps=2)
+        model = StencilModel(
+            eq, fine.resample(4), ModelConfig(num_layers=1, filters=4, stencil_size=4)
+        )
+        params = model.init_params(jax.random.PRNGKey(0))
+        norms = loss_lib.compute_loss_norms(model, data, 2, 0.05, substeps=4)
+        kwargs = dict(dt=0.05, unroll_steps=2, substeps=4)
+        key = jax.random.PRNGKey(42)
+
+        loss_clean, parts_clean = loss_lib.compute_loss(
+            model, params, data, norms, LossWeights(), **kwargs
+        )
+        # noise off (rate 0) with a key, and noise on without a key: no-ops
+        for off in (
+            dict(rollout_noise=0.0, noise_key=key),
+            dict(rollout_noise=0.1, noise_key=None),
+        ):
+            loss_off, _ = loss_lib.compute_loss(
+                model, params, data, norms, LossWeights(), **kwargs, **off
+            )
+            assert float(loss_off) == float(loss_clean), off
+
+        _, parts_noisy = loss_lib.compute_loss(
+            model, params, data, norms, LossWeights(), **kwargs,
+            rollout_noise=0.1, noise_key=key,
+        )
+        for k in parts_clean:
+            if k.startswith("deriv") or k == "time_deriv":
+                assert float(parts_noisy[k]) == float(parts_clean[k]), k
+        assert float(parts_noisy["integrated"]) != float(
+            parts_clean["integrated"]
+        )
+        # perturbed start, clean targets => the zero-params (baseline) model
+        # cannot be better than on clean starts
+        assert float(parts_noisy["integrated"]) > float(
+            parts_clean["integrated"]
+        )
+        # deterministic in the key
+        _, parts_again = loss_lib.compute_loss(
+            model, params, data, norms, LossWeights(), **kwargs,
+            rollout_noise=0.1, noise_key=key,
+        )
+        assert float(parts_again["integrated"]) == float(
+            parts_noisy["integrated"]
+        )
+
+    def test_rollout_noise_trains_and_resumes_deterministically(self, tmp_path):
+        """e2e: rollout_noise training is finite, and a resumed run replays
+        the same noise stream (params match an uninterrupted run bitwise)."""
+        cfg = dataclasses.replace(TINY, rollout_noise=0.05)
+        ckpt_dir = str(tmp_path / "ckpt")
+        half = dataclasses.replace(cfg, learning_stops=(6,))
+        loop_lib.train(half, checkpoint_dir=ckpt_dir)
+        _, params_resumed, metrics = loop_lib.train(cfg, checkpoint_dir=ckpt_dir)
+        assert np.isfinite(metrics["eval_total"]), metrics
+        _, params_full, _ = loop_lib.train(cfg)
+        for a, b in zip(
+            jax.tree.leaves(params_resumed), jax.tree.leaves(params_full)
+        ):
+            np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+
+    def test_rollout_noise_hparam_parses(self):
+        from pde_superresolution_tpu.training.config import parse_hparams
+
+        cfg = parse_hparams("rollout_noise=0.02")
+        assert cfg.rollout_noise == 0.02
+
     def test_relative_error_trains(self):
         """e2e smoke: training with relative_error mixing runs and stays finite."""
         import dataclasses as dc
