@@ -72,6 +72,8 @@ def export_model(
     dt: Optional[float] = None,
     num_steps: int = 0,
     platforms=DEFAULT_PLATFORMS,
+    fine_size: Optional[int] = None,
+    resample_factor: Optional[int] = None,
     extra_meta: Optional[dict] = None,
 ):
     """Trace a trained ``StencilModel`` into serialized StableHLO.
@@ -87,6 +89,13 @@ def export_model(
         ``lax.scan`` — the serving hot path).
       platforms: lowering targets; the default covers cpu and tpu so one
         artifact tests on a CPU host and serves on the chip.
+      fine_size: size of the fine (reference-solution) grid the model was
+        trained against. Optional — the frozen graph doesn't need it — but
+        the science CLIs (``run_evaluation``/``run_ensemble
+        --exported_dir``) do (``science_context``): without it an artifact
+        can be integrated but not evaluated against exact solves.
+      resample_factor: coarsening factor between that fine grid and the
+        model grid; same role as ``fine_size``.
 
     Returns:
       (meta, exported) where ``meta`` is the JSON-able metadata dict and
@@ -145,6 +154,9 @@ def export_model(
         "platforms": list(platforms),
         "dt": float(dt) if num_steps else None,
         "num_steps": int(num_steps),
+        "stencil_size": int(model.config.stencil_size),
+        "fine_size": int(fine_size) if fine_size else None,
+        "resample_factor": int(resample_factor) if resample_factor else None,
     }
     if extra_meta:
         meta.update(extra_meta)
@@ -286,6 +298,15 @@ def science_context(meta: dict):
     from pde_superresolution_tpu import equations
     from pde_superresolution_tpu.grids import Grid
 
+    if not meta.get("fine_size") or not meta.get("resample_factor"):
+        raise ValueError(
+            "artifact metadata lacks fine_size/resample_factor — it was "
+            "exported without the science-pipeline keys (export_model's "
+            "fine_size=/resample_factor= arguments, which run_export fills "
+            "from the checkpoint config). The frozen graph can still be "
+            "integrated via ServedModel.rhs_fn/advance, but the evaluation "
+            "CLIs need the fine-grid geometry to build exact references."
+        )
     equation = equations.from_name(
         meta["equation"],
         conservative=meta["conservative"],

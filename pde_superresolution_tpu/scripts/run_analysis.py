@@ -101,7 +101,7 @@ def make_figures(result, output_dir: str, period: float = 0.0,
         masked = np.where(alive, mae, np.nan)
         n_alive = alive.sum(axis=0)
         med = np.full(rel.shape, np.nan)
-        ok = n_alive >= max(1, mae.shape[0] // 2)
+        ok = n_alive >= (mae.shape[0] + 1) // 2  # at least half survive
         if ok.any():
             med[ok] = np.nanmedian(masked[:, ok], axis=0)
         ax.plot(rel, med, color=_color(name, i), linewidth=2, label=name)

@@ -55,11 +55,10 @@ def main(argv):
         dt=FLAGS.dt or None,
         num_steps=FLAGS.num_steps,
         platforms=tuple(FLAGS.platforms.split(",")),
+        fine_size=config.fine_size,
+        resample_factor=config.resample_factor,
         extra_meta={
-            "fine_size": config.fine_size,
-            "resample_factor": config.resample_factor,
             "equation_params": config.equation_params,
-            "stencil_size": config.model.stencil_size,
             "checkpoint_dir": FLAGS.checkpoint_dir,
         },
     )

@@ -70,11 +70,14 @@ _RESUME_MUTABLE = frozenset(
 )
 
 
-def _noise_key(config: TrainingConfig, step: int) -> jax.Array:
+def _noise_key(config: TrainingConfig, step) -> jax.Array:
     """Per-step rollout-noise key, a pure function of (seed, step) so that
     resumed runs replay the exact noise stream of an uninterrupted one
     (mirrors the batch-index convention above). The offset decorrelates it
-    from the data_seed/seed PRNGKey streams used for ICs and init."""
+    from the data_seed/seed PRNGKey streams used for ICs and init. Called
+    INSIDE the jitted train_step with the traced ``state.step`` — the key
+    derivation compiles into the step instead of costing two eager
+    dispatches per step on the host."""
     return jax.random.fold_in(jax.random.PRNGKey(config.seed + 0x6E01), step)
 
 
@@ -297,9 +300,8 @@ def train(
         )
 
         @jax.jit
-        def train_step(
-            state: TrainState, batch: data_lib.TrainingData, noise_key
-        ):
+        def train_step(state: TrainState, batch: data_lib.TrainingData):
+            noise_key = _noise_key(config, state.step)
             (_, parts), grads = jax.value_and_grad(
                 lambda p: loss_fn(p, batch, noise_key=noise_key),
                 has_aux=True,
@@ -339,9 +341,7 @@ def train(
                 0, n_train, size=config.batch_size
             )
             batch = shard_batch(_slice_batch(train_set, jnp.asarray(idx)))
-            # pure function of (seed, step), like the batch stream, so a
-            # resumed run replays identical noise draws
-            state, parts = train_step(state, batch, _noise_key(config, step))
+            state, parts = train_step(state, batch)
 
             if (step + 1) % config.eval_interval == 0 or step + 1 == phase_end:
                 eval_parts = eval_step(state.params, shard_batch(eval_set))
@@ -478,9 +478,8 @@ def _train_on_trajectories(
         )
 
         @jax.jit
-        def train_step(
-            state: TrainState, batch: data_lib.TrainingData, noise_key
-        ):
+        def train_step(state: TrainState, batch: data_lib.TrainingData):
+            noise_key = _noise_key(config, state.step)
             (_, parts), grads = jax.value_and_grad(
                 lambda p: loss_fn(p, batch, noise_key=noise_key),
                 has_aux=True,
@@ -514,7 +513,7 @@ def _train_on_trajectories(
         for step in range(int(state.step), phase_end):
             rng = np.random.RandomState(config.seed * 100003 + step)
             batch = shard_batch(draw(rng, train_pool, config.batch_size))
-            state, parts = train_step(state, batch, _noise_key(config, step))
+            state, parts = train_step(state, batch)
             if (step + 1) % config.eval_interval == 0 or step + 1 == phase_end:
                 eval_parts = eval_step(state.params, shard_batch(eval_batch))
                 metrics = {

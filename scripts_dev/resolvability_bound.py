@@ -55,6 +55,17 @@ flags.DEFINE_string("output_path", None, "optional JSONL results path")
 def main(argv):
     del argv
     eq = equations.from_name(FLAGS.equation, conservative=True)
+    if eq.forced:
+        # The coarse re-solve below starts its forcing clock at t=0 while
+        # its initial state sits at t=warmup+0 of the FINE trajectory —
+        # exact_solve_sampled has no t0 parameter, so for forced equations
+        # the comparison would run against phase-shifted forcing and the
+        # "best classical scheme" bound would be silently wrong.
+        raise app.UsageError(
+            f"{eq.name} is forced; this probe only supports unforced "
+            "equations (the coarse re-solve cannot resume the forcing "
+            "phase at t=warmup)"
+        )
     fine = Grid(FLAGS.fine_size, eq.period)
     num_times = int(round(FLAGS.time_max / FLAGS.time_delta)) + 1
 

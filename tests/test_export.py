@@ -222,6 +222,29 @@ class TestScienceContext:
         with pytest.raises(ValueError, match="inconsistent"):
             export.science_context(meta)
 
+    def test_missing_science_keys_raise_clearly(self, ks_artifact):
+        """An artifact exported without fine_size/resample_factor (the bare
+        export_and_save API) integrates fine but gives a clear error — not a
+        KeyError — when the evaluation CLIs try to rebuild exact-solve
+        geometry from it."""
+        _, _, path, _ = ks_artifact
+        served = export.load_served_model(path)
+        assert served.meta["fine_size"] is None
+        with pytest.raises(ValueError, match="fine_size/resample_factor"):
+            export.science_context(served.meta)
+
+    def test_export_model_science_kwargs_land_in_meta(self, tmp_path):
+        model, params = _make_model("ks")
+        meta = export.export_and_save(
+            model, params, str(tmp_path / "sci"), num_steps=0,
+            fine_size=model.grid.size * 4, resample_factor=4,
+        )
+        assert meta["fine_size"] == model.grid.size * 4
+        assert meta["resample_factor"] == 4
+        assert meta["stencil_size"] == model.config.stencil_size
+        equation, fine, coarse = export.science_context(meta)
+        assert coarse.size == model.grid.size
+
 
 class TestValidation:
     def test_wrong_grid_size_raises(self, ks_artifact):

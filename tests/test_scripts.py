@@ -162,12 +162,12 @@ class TestCLIPipeline:
 
     def test_evaluation_requires_exactly_one_model_source(self, pipeline_dirs):
         _, ckpt, root = pipeline_dirs
-        with pytest.raises(AssertionError):
-            run_cli(
-                "run_evaluation",
-                [f"--output_path={root}/x.h5", "--num_samples=2",
-                 "--time_max=0.2"],
-            )
+        run_cli(
+            "run_evaluation",
+            [f"--output_path={root}/x.h5", "--num_samples=2",
+             "--time_max=0.2"],
+            expect_error="exactly one",
+        )
 
     def test_ensemble(self, pipeline_dirs):
         _, ckpt, _ = pipeline_dirs
