@@ -154,9 +154,16 @@ class Equation:
         return u_t
 
     # --- randomness ---------------------------------------------------------
-    num_forcing_terms: typing.ClassVar[int] = 20
-    forcing_k_min: typing.ClassVar[int] = 3
-    forcing_k_max: typing.ClassVar[int] = 6
+    # Real dataclass fields (not ClassVars) so they are per-instance
+    # configurable through ``from_name(..., forcing_k_min=30, ...)`` /
+    # TrainingConfig.equation_params. The key use case is DOMAIN
+    # GENERALIZATION (the reference paper's locality claim): deploying a
+    # trained model on a domain N-times larger requires scaling the integer
+    # wavenumber bands by N to keep the same PHYSICAL forcing/IC wavelengths
+    # (k is in cycles per domain; kappa = 2 pi k / period).
+    num_forcing_terms: int = 20
+    forcing_k_min: int = 3
+    forcing_k_max: int = 6
 
     def sample_forcing(
         self, key: jax.Array, batch_shape: tuple[int, ...] = ()
@@ -180,10 +187,10 @@ class Equation:
         phi = jax.random.uniform(kp, shape, minval=0.0, maxval=2 * np.pi)
         return ForcingParams(amplitude, omega, k_mag * sign, phi)
 
-    ic_num_modes: typing.ClassVar[int] = 10
-    ic_k_min: typing.ClassVar[int] = 1
-    ic_k_max: typing.ClassVar[int] = 3
-    ic_amplitude: typing.ClassVar[float] = 1.0
+    ic_num_modes: int = 10
+    ic_k_min: int = 1
+    ic_k_max: int = 3
+    ic_amplitude: float = 1.0
 
     def initial_conditions(
         self, key: jax.Array, grid: Grid, batch_shape: tuple[int, ...] = ()

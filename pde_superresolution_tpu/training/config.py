@@ -126,6 +126,24 @@ class TrainingConfig:
         return cls(**raw)
 
 
+def _coerce_literal(value: str) -> typing.Any:
+    """Best-effort scalar coercion for equation-parameter overrides
+    (``eq.<field>=<value>``), whose target types live on the equation
+    dataclasses rather than TrainingConfig: int, then float, then bool
+    literals, else the raw string."""
+    try:
+        return int(value)
+    except ValueError:
+        pass
+    try:
+        return float(value)
+    except ValueError:
+        pass
+    if value.lower() in ("true", "false"):
+        return value.lower() == "true"
+    return value
+
+
 def _coerce(value: str, annotation) -> typing.Any:
     # `from __future__ import annotations` makes field types plain strings.
     ann = annotation if isinstance(annotation, str) else getattr(
@@ -151,6 +169,11 @@ def parse_hparams(overrides: str, base: TrainingConfig | None = None) -> Trainin
     Nested model/loss fields are addressed directly by name (all leaf names
     are unique): e.g. ``filters=64,num_time_steps=8,conservative=false``.
     Tuple values use ``;`` separators: ``learning_rates=1e-3;1e-4``.
+    Equation-constructor fields use an ``eq.`` prefix and merge into
+    ``equation_params``: e.g. ``eq.eta=0.02`` (Burgers viscosity) or
+    ``eq.period=62.8,eq.forcing_k_min=30,eq.forcing_k_max=60`` (domain
+    scaling with matched physical forcing band — RESULTS.md "domain
+    generalization").
     """
     config = base or TrainingConfig()
     if not overrides:
@@ -161,15 +184,18 @@ def parse_hparams(overrides: str, base: TrainingConfig | None = None) -> Trainin
     updates: dict = {}
     model_updates: dict = {}
     loss_updates: dict = {}
+    eq_updates: dict = {}
     for item in overrides.split(","):
         if not item.strip():
             continue
         key, _, value = item.partition("=")
         key = key.strip()
         value = value.strip()
-        if key in ("model", "loss_weights"):
+        if key in ("model", "loss_weights", "equation_params"):
             raise ValueError(f"set nested fields directly, not {key!r}")
-        if key in top:
+        if key.startswith("eq."):
+            eq_updates[key[len("eq."):]] = _coerce_literal(value)
+        elif key in top:
             updates[key] = _coerce(value, top[key].type)
         elif key in model_fields:
             model_updates[key] = _coerce(value, model_fields[key].type)
@@ -183,4 +209,6 @@ def parse_hparams(overrides: str, base: TrainingConfig | None = None) -> Trainin
         updates["loss_weights"] = dataclasses.replace(
             config.loss_weights, **loss_updates
         )
+    if eq_updates:
+        updates["equation_params"] = {**config.equation_params, **eq_updates}
     return dataclasses.replace(config, **updates)

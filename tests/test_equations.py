@@ -130,6 +130,26 @@ class TestForcing:
         k = np.abs(np.asarray(p.k))
         assert k.min() >= eq.forcing_k_min and k.max() <= eq.forcing_k_max
 
+    def test_configurable_band_scales_with_domain(self):
+        # Domain generalization (the paper's locality claim): on an N-times
+        # larger domain the same PHYSICAL wavelengths are integer
+        # wavenumbers N*k, so the bands must be per-instance fields.
+        eq = equations.from_name(
+            "burgers", period=10 * 2 * np.pi,
+            forcing_k_min=30, forcing_k_max=60, num_forcing_terms=40,
+        )
+        p = eq.sample_forcing(jax.random.PRNGKey(3), batch_shape=(50,))
+        k = np.abs(np.asarray(p.k))
+        assert p.k.shape == (50, 40)
+        assert k.min() >= 30 and k.max() <= 60
+        # physical wavenumber band 2*pi*k/L matches the default equation's
+        base = equations.BurgersEquation()
+        np.testing.assert_allclose(
+            2 * np.pi * np.array([30, 60]) / eq.period,
+            2 * np.pi * np.array([base.forcing_k_min, base.forcing_k_max])
+            / base.period,
+        )
+
 
 class TestInitialConditions:
     def test_shape_and_determinism(self):
@@ -146,6 +166,14 @@ class TestInitialConditions:
         u = np.asarray(eq.initial_conditions(jax.random.PRNGKey(1), grid))
         spec = np.abs(np.fft.rfft(u))
         assert spec[eq.ic_k_max + 1 :].max() < 1e-3 * max(spec.max(), 1e-9)
+
+    def test_configurable_ic_band(self):
+        eq = equations.from_name("ks", period=640.0, ic_k_min=10, ic_k_max=30)
+        grid = Grid(2560, eq.period)
+        u = np.asarray(eq.initial_conditions(jax.random.PRNGKey(1), grid))
+        spec = np.abs(np.fft.rfft(u))
+        assert spec[31:].max() < 1e-3 * max(spec.max(), 1e-9)
+        assert spec[:10].max() < 1e-3 * max(spec.max(), 1e-9)
 
 
 class TestRegistry:

@@ -371,6 +371,33 @@ class TestHparams:
         c2 = TrainingConfig.from_json(c.to_json())
         assert c2 == c
 
+    def test_eq_prefix_merges_equation_params(self):
+        c = parse_hparams(
+            "equation=burgers,eq.eta=0.02,eq.forcing_k_min=30,"
+            "eq.period=62.8,filters=16"
+        )
+        assert c.equation_params == {
+            "eta": 0.02, "forcing_k_min": 30, "period": 62.8
+        }
+        assert c.model.filters == 16
+        # the built equation actually receives them
+        from pde_superresolution_tpu import equations
+
+        eq = equations.from_name(
+            c.equation, conservative=c.conservative, **c.equation_params
+        )
+        assert eq.eta == 0.02 and eq.forcing_k_min == 30
+        # overrides compose: a later parse replaces only the given keys
+        c2 = parse_hparams("eq.eta=0.05", base=c)
+        assert c2.equation_params["eta"] == 0.05
+        assert c2.equation_params["forcing_k_min"] == 30
+        # json round-trips with equation_params populated
+        assert TrainingConfig.from_json(c2.to_json()) == c2
+
+    def test_direct_equation_params_key_rejected(self):
+        with pytest.raises(ValueError):
+            parse_hparams("equation_params=bad")
+
 
 class TestTrajectoryData:
     def test_sampled_batch_matches_flat_pipeline(self):
