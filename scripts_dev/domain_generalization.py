@@ -47,6 +47,7 @@ flags.DEFINE_string("checkpoint_dir", "artifacts/ckpt_burgers8",
 flags.DEFINE_integer("domain_factor", 10, "domain enlargement factor N")
 flags.DEFINE_integer("num_samples", 16, "evaluation ensemble size")
 flags.DEFINE_float("time_max", 3.0, "evaluation horizon")
+flags.DEFINE_float("warmup_time", 0.0, "exact-solver warmup (KS: ~44)")
 flags.DEFINE_integer("seed", 0, "evaluation seed")
 flags.DEFINE_string("output_path", None, "optional JSONL results path")
 
@@ -73,6 +74,7 @@ def _run(model, params, config, equation, fine, label):
         num_samples=FLAGS.num_samples,
         time_max=FLAGS.time_max,
         time_delta=config.time_delta,
+        warmup_time=FLAGS.warmup_time,
         ic_scale=config.ic_scale,
     )
     record = {
