@@ -50,6 +50,14 @@ flags.DEFINE_integer(
     "model's own stencil width, so 'beats the baseline' always means "
     "'beats classic stencils of equal width' (a narrower baseline can be "
     "the unstable one, flattering the model)")
+flags.DEFINE_integer(
+    "domain_factor", 1,
+    "evaluate the checkpoint on a domain this many times LARGER than it "
+    "was trained on (same dx; the learned discretization is a local "
+    "operator — RESULTS.md 'domain generalization'). Integer forcing/IC "
+    "wavenumber bands scale with the factor so the physical wavelengths "
+    "match the training distribution. Checkpoints only: a frozen "
+    "--exported_dir artifact has its grid size baked in.")
 
 
 def main(argv):
@@ -57,6 +65,11 @@ def main(argv):
     if bool(FLAGS.checkpoint_dir) == bool(FLAGS.exported_dir):
         raise app.UsageError(
             "pass exactly one of --checkpoint_dir / --exported_dir")
+    if FLAGS.domain_factor > 1 and FLAGS.exported_dir:
+        raise app.UsageError(
+            "--domain_factor needs a live checkpoint: a frozen StableHLO "
+            "artifact's grid size (nx) is baked into the exported graph"
+        )
     if FLAGS.exported_dir:
         from pde_superresolution_tpu import export as export_lib
 
@@ -71,6 +84,29 @@ def main(argv):
         resample_factor = config.resample_factor
         fine = Grid(config.fine_size, equation.period)
         coarse = model.grid
+        if FLAGS.domain_factor > 1:
+            # same physics in an N-times larger box, same dx: the trained
+            # parameters apply unchanged (translation-invariant conv tower,
+            # nx-independent constraint layer); the integer wavenumber
+            # bands scale so physical forcing/IC wavelengths are unchanged
+            import dataclasses
+
+            from pde_superresolution_tpu.models import StencilModel
+
+            n = FLAGS.domain_factor
+            equation = dataclasses.replace(
+                equation,
+                period=n * equation.period,
+                forcing_k_min=n * equation.forcing_k_min,
+                forcing_k_max=n * equation.forcing_k_max,
+                ic_k_min=n * equation.ic_k_min,
+                ic_k_max=n * equation.ic_k_max,
+            )
+            fine = Grid(n * config.fine_size, equation.period)
+            coarse = fine.resample(
+                resample_factor, conservative=equation.conservative
+            )
+            model = StencilModel(equation, coarse, config.model)
         model_rhs = lambda forcing: model.rhs_fn(params, forcing)
         model_stencil_size = model.config.stencil_size
 

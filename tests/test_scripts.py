@@ -180,6 +180,37 @@ class TestCLIPipeline:
             expect_error="live model parameters",
         )
 
+    def test_evaluation_on_larger_domain(self, pipeline_dirs):
+        """--domain_factor rebuilds the checkpoint's model on an N-times
+        larger domain (same dx, scaled wavenumber bands) and evaluates it
+        there — RESULTS.md 'domain generalization' as a CLI."""
+        _, ckpt, root = pipeline_dirs
+        out_path = str(root / "eval_big_domain.h5")
+        out = run_cli(
+            "run_evaluation",
+            [f"--checkpoint_dir={ckpt}", f"--output_path={out_path}",
+             "--num_samples=2", "--time_max=0.3", "--time_delta=0.1",
+             "--domain_factor=2"],
+        )
+        assert "model" in out and "baseline" in out
+        import h5py
+
+        with h5py.File(out_path, "r") as f:
+            # trained coarse grid was 64/4 = 16 points; the 2x domain's is 32
+            assert f["exact"].shape[-1] == 32
+
+    def test_evaluation_domain_factor_rejects_exported(
+        self, exported_ensemble_dir, pipeline_dirs
+    ):
+        _, _, root = pipeline_dirs
+        run_cli(
+            "run_evaluation",
+            [f"--exported_dir={exported_ensemble_dir}",
+             f"--output_path={root}/y.h5", "--num_samples=2",
+             "--time_max=0.2", "--domain_factor=2"],
+            expect_error="baked into the exported graph",
+        )
+
     def test_evaluation_requires_exactly_one_model_source(self, pipeline_dirs):
         _, ckpt, root = pipeline_dirs
         run_cli(
