@@ -40,6 +40,11 @@ flags.DEFINE_float("period", 0.0,
                    "domain period for the spectrum's wavenumber axis; "
                    "0 = label the axis in cycles per domain instead")
 flags.DEFINE_integer("sample", 0, "ensemble member for the space-time plot")
+flags.DEFINE_integer(
+    "spacetime_window", 0,
+    "grid points shown in the space-time diagrams (0 = the whole domain); "
+    "crop for large domains (e.g. --domain_factor evaluations) where the "
+    "full width aliases into an unreadable raster")
 flags.DEFINE_integer("dpi", 150, "figure raster resolution")
 flags.DEFINE_string(
     "checkpoint_dir", None,
@@ -88,7 +93,8 @@ def _style_axes(ax):
 
 
 def make_figures(result, output_dir: str, period: float = 0.0,
-                 sample: int = 0, dpi: int = 150) -> list:
+                 sample: int = 0, dpi: int = 150,
+                 spacetime_window: int = 0) -> list:
     """Write the four figures for an EvalResult; returns the paths."""
     import matplotlib
 
@@ -177,9 +183,14 @@ def make_figures(result, output_dir: str, period: float = 0.0,
 
     # 4. Space-time diagrams of one member: exact + every scheme, shared
     # symmetric diverging scale (u is signed; blue <-> red, neutral mid).
-    panels = [("exact", np.asarray(result.exact)[sample])]
+    # An optional window crops the spatial axis (periodic fields carry the
+    # same statistics everywhere; the full width of a large domain aliases
+    # into an unreadable raster).
+    w = spacetime_window
+    crop = (lambda u: u[..., :w]) if w else (lambda u: u)
+    panels = [("exact", crop(np.asarray(result.exact)[sample]))]
     panels += [
-        (name, np.asarray(result.trajectories[name])[sample])
+        (name, crop(np.asarray(result.trajectories[name])[sample]))
         for name in names
     ]
     vmax = float(np.nanmax(np.abs(panels[0][1]))) or 1.0
@@ -322,6 +333,7 @@ def main(argv):
         period=FLAGS.period,
         sample=FLAGS.sample,
         dpi=FLAGS.dpi,
+        spacetime_window=FLAGS.spacetime_window,
     )
     if FLAGS.checkpoint_dir:
         from pde_superresolution_tpu.training import loop as loop_lib
