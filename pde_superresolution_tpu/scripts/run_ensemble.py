@@ -48,6 +48,15 @@ flags.DEFINE_enum(
     "shapes tile and no HDF5 output is requested (falls back to the XLA "
     "scan if the kernel fails to build or compile)")
 flags.DEFINE_integer(
+    "domain_factor", 1,
+    "integrate the ensemble on a domain this many times LARGER than the "
+    "checkpoint was trained on (same dx; the learned discretization is a "
+    "local operator, and forcing/IC wavenumber bands scale with the factor "
+    "so the physical wavelengths match training — RESULTS.md 'domain "
+    "generalization'). Checkpoints only: a frozen --exported_dir artifact "
+    "has its grid size baked in. Composes with --fused (the kernel tiles "
+    "any nx divisible by 128) and --data_parallel.")
+flags.DEFINE_integer(
     "data_parallel", 0,
     "shard the ensemble (warmup + integration) over this many devices of a "
     "('data',) mesh; 0 = single device. Composes with --fused: the Mosaic "
@@ -72,12 +81,41 @@ def main(argv):
                 "kernel is built from them); a frozen artifact serves via "
                 "the XLA scan — pass --checkpoint_dir or drop --fused"
             )
+        if FLAGS.domain_factor > 1:
+            raise ValueError(
+                "--domain_factor needs a live checkpoint: a frozen "
+                "StableHLO artifact's grid size (nx) is baked into the "
+                "exported graph"
+            )
         served = export_lib.load_served_model(FLAGS.exported_dir)
         equation, _, coarse = export_lib.science_context(served.meta)
     else:
         model, params, config = loop_lib.load_model(FLAGS.checkpoint_dir)
         equation = model.equation
         coarse = model.grid
+        if FLAGS.domain_factor > 1:
+            # same physics in an N-times larger box, same dx: identical
+            # parameters apply (translation-invariant tower, nx-independent
+            # constraint layer); integer wavenumber bands scale so the
+            # physical forcing/IC wavelengths are unchanged
+            import dataclasses
+
+            from pde_superresolution_tpu.grids import Grid
+            from pde_superresolution_tpu.models import StencilModel
+
+            nf = FLAGS.domain_factor
+            equation = dataclasses.replace(
+                equation,
+                period=nf * equation.period,
+                forcing_k_min=nf * equation.forcing_k_min,
+                forcing_k_max=nf * equation.forcing_k_max,
+                ic_k_min=nf * equation.ic_k_min,
+                ic_k_max=nf * equation.ic_k_max,
+            )
+            coarse = Grid(nf * config.fine_size, equation.period).resample(
+                config.resample_factor, conservative=equation.conservative
+            )
+            model = StencilModel(equation, coarse, config.model)
     n = FLAGS.num_trajectories
 
     key, k_f = jax.random.split(jax.random.PRNGKey(FLAGS.seed))

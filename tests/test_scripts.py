@@ -229,6 +229,26 @@ class TestCLIPipeline:
         )
         assert "traj-steps/s" in out
 
+    def test_ensemble_on_larger_domain(self, pipeline_dirs):
+        _, ckpt, _ = pipeline_dirs
+        out = run_cli(
+            "run_ensemble",
+            [f"--checkpoint_dir={ckpt}", "--num_trajectories=8",
+             "--time_max=0.2", "--num_saves=2", "--domain_factor=2"],
+        )
+        # trained coarse grid was 64/4 = 16 points; the 2x domain's is 32
+        assert "nx=32" in out and "finite: 8/8" in out
+
+    def test_ensemble_domain_factor_rejects_exported(
+        self, exported_ensemble_dir
+    ):
+        run_cli(
+            "run_ensemble",
+            [f"--exported_dir={exported_ensemble_dir}",
+             "--num_trajectories=8", "--time_max=0.2", "--domain_factor=2"],
+            expect_error="baked into the exported graph",
+        )
+
     def test_ensemble_data_parallel(self, pipeline_dirs):
         """DP-sharded ensemble over the 8-device virtual mesh."""
         _, ckpt, _ = pipeline_dirs
