@@ -32,8 +32,14 @@ from pde_superresolution_tpu import analysis
 
 FLAGS = flags.FLAGS
 
-flags.DEFINE_string("input_path", None, "evaluation HDF5 artifact",
-                    required=True)
+flags.DEFINE_string("input_path", None,
+                    "evaluation HDF5 artifact (or use --sweep_jsonl)")
+flags.DEFINE_string(
+    "sweep_jsonl", None,
+    "run_sweep JSONL results instead of an evaluation HDF5: emits the "
+    "paper's headline accuracy-vs-coarsening figure (final MAE and median "
+    "survival vs resample factor, per scheme; hollow markers = some "
+    "ensemble members diverged)")
 flags.DEFINE_string("output_dir", None, "directory for figures",
                     required=True)
 flags.DEFINE_float("period", 0.0,
@@ -317,6 +323,68 @@ def make_coefficients_figure(model, params, u, output_dir: str,
     return p
 
 
+def make_sweep_figures(records: list, output_dir: str, dpi: int = 150) -> list:
+    """The paper's accuracy-vs-coarsening figure from run_sweep JSONL rows.
+
+    Two panels as separate PNGs: final MAE vs resample factor (log-log)
+    and median survival time vs factor (log x). A scheme's point is drawn
+    hollow when some ensemble members diverged (its MAE is then over the
+    survivors only); a fully-diverged row has no MAE point but still has
+    a survival point (survival of a dead member is its blowup time).
+    """
+    import matplotlib
+
+    matplotlib.use("Agg")
+    import matplotlib.pyplot as plt
+
+    os.makedirs(output_dir, exist_ok=True)
+    names = sorted(
+        {k[: -len("_mae")] for r in records for k in r if k.endswith("_mae")}
+    )
+    factors = sorted({int(r["factor"]) for r in records})
+    by_factor = {int(r["factor"]): r for r in records}
+    paths = []
+    specs = [
+        ("sweep_mae.png", "_mae", "final MAE vs exact (survivors)", True),
+        ("sweep_survival.png", "_survival_median",
+         "median survival time", False),
+    ]
+    for fname, suffix, ylabel, logy in specs:
+        fig, ax = plt.subplots(figsize=(6, 3.6), facecolor=_SURFACE)
+        for i, name in enumerate(names):
+            color = _color(name, i)
+            xs, ys, hollow = [], [], []
+            for f in factors:
+                r = by_factor[f]
+                v = r.get(name + suffix)
+                if v is None:
+                    continue
+                xs.append(f)
+                ys.append(v)
+                hollow.append(bool(r.get(name + "_diverged")))
+            if not xs:
+                continue
+            ax.plot(xs, ys, color=color, linewidth=2, label=name, zorder=2)
+            for x, y, h in zip(xs, ys, hollow):
+                ax.plot([x], [y], marker="o", markersize=6, color=color,
+                        fillstyle="none" if h else "full", zorder=3)
+        ax.set_xscale("log", base=2)
+        ax.set_xticks(factors)
+        ax.set_xticklabels([f"{f}x" for f in factors])
+        if logy:
+            ax.set_yscale("log")
+        ax.set_xlabel("resample factor (coarsening)")
+        ax.set_ylabel(ylabel)
+        _style_axes(ax)
+        ax.legend(frameon=False, labelcolor=_INK)
+        fig.tight_layout()
+        p = os.path.join(output_dir, fname)
+        fig.savefig(p, dpi=dpi, facecolor=_SURFACE)
+        plt.close(fig)
+        paths.append(p)
+    return paths
+
+
 def main(argv):
     del argv
     # Post-processing never needs the accelerator; force CPU so this CLI
@@ -325,6 +393,17 @@ def main(argv):
     import jax
 
     jax.config.update("jax_platforms", "cpu")
+    if bool(FLAGS.input_path) == bool(FLAGS.sweep_jsonl):
+        raise app.UsageError(
+            "pass exactly one of --input_path / --sweep_jsonl")
+    if FLAGS.sweep_jsonl:
+        import json
+
+        with open(FLAGS.sweep_jsonl) as f:
+            records = [json.loads(l) for l in f if l.strip()]
+        for p in make_sweep_figures(records, FLAGS.output_dir, dpi=FLAGS.dpi):
+            print("wrote", p)
+        return
     result = analysis.load_eval_h5(FLAGS.input_path)
     print(analysis.report(result))
     paths = make_figures(

@@ -211,6 +211,28 @@ class TestCLIPipeline:
             expect_error="baked into the exported graph",
         )
 
+    def test_analysis_sweep_figures(self, tmp_path):
+        """run_analysis --sweep_jsonl emits the accuracy-vs-coarsening
+        figures straight from run_sweep JSONL rows (no HDF5 needed)."""
+        rows = [
+            {"factor": 4, "model_mae": 1e-4, "baseline_mae": 1e-2,
+             "model_survival_median": 3.0, "baseline_survival_median": 3.0},
+            {"factor": 8, "model_mae": 1e-3, "baseline_mae": None,
+             "baseline_diverged": 32, "model_survival_median": 3.0,
+             "baseline_survival_median": 0.5},
+        ]
+        sweep = tmp_path / "sweep.jsonl"
+        sweep.write_text("\n".join(json.dumps(r) for r in rows))
+        figs = str(tmp_path / "figs")
+        out = run_cli(
+            "run_analysis",
+            [f"--sweep_jsonl={sweep}", f"--output_dir={figs}", "--dpi=50"],
+        )
+        assert "sweep_mae.png" in out and "sweep_survival.png" in out
+        for name in ("sweep_mae.png", "sweep_survival.png"):
+            p = os.path.join(figs, name)
+            assert os.path.exists(p) and os.path.getsize(p) > 1000
+
     def test_evaluation_requires_exactly_one_model_source(self, pipeline_dirs):
         _, ckpt, root = pipeline_dirs
         run_cli(
