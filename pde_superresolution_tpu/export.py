@@ -142,10 +142,25 @@ def export_model(
     if num_steps:
         exported["step"] = _export_fn(with_forcing(step), specs, platforms)
 
+    # The artifact must carry its physics: serialize every equation
+    # dataclass field (eta, forcing/IC wavenumber bands, ...) so that
+    # science_context rebuilds the EXACT equation the model was trained on.
+    # Leaving this to callers (the old extra_meta path) silently rebuilt
+    # default physics for e.g. an eq.eta=0.02 model — the class of drift
+    # data.save_snapshots_h5 and the resume config-diff guard against.
+    # 'conservative' is stored separately below (and from_name takes it as
+    # its own argument in science_context).
+    import dataclasses as _dc
+
+    eq_params = {
+        k: v for k, v in _dc.asdict(equation).items() if k != "conservative"
+    }
+
     meta = {
         "format_version": FORMAT_VERSION,
         "equation": equation.name,
         "conservative": bool(equation.conservative),
+        "equation_params": eq_params,
         "forced": bool(forced),
         "num_forcing_terms": int(m),
         "period": float(grid.period),

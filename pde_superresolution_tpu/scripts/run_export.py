@@ -57,9 +57,13 @@ def main(argv):
         platforms=tuple(FLAGS.platforms.split(",")),
         fine_size=config.fine_size,
         resample_factor=config.resample_factor,
+        # provenance only: export_model itself serializes the full
+        # equation_params from the live equation object (config overrides
+        # included), so a library caller gets the same physics-carrying
+        # artifact as the CLI
         extra_meta={
-            "equation_params": config.equation_params,
             "checkpoint_dir": FLAGS.checkpoint_dir,
+            "training_equation_params": config.equation_params,
         },
     )
     # sanity: the frozen graph reproduces the live model on this host

@@ -56,6 +56,13 @@ class TrainingData(typing.NamedTuple):
     deriv_labels: dict  # {order: [n, nx_coarse]}
     time_deriv_label: jnp.ndarray  # [n, nx_coarse]
     rollout: jnp.ndarray  # [n, unroll_steps, nx_coarse] (unroll may be 0)
+    # source-trajectory index per sample [n], so train() can split
+    # train/eval BY TRAJECTORY (a random sample split leaks each eval
+    # trajectory's other timesteps into training and biases eval losses
+    # optimistically). None only for externally built datasets that carry
+    # no trajectory structure — train() then falls back to a sample split
+    # with a leakage warning.
+    traj_ids: Optional[jnp.ndarray] = None
 
     @property
     def num_samples(self) -> int:
@@ -188,6 +195,7 @@ def build_training_data(
         deriv_labels={d: flat(v) for d, v in deriv_labels.items()},
         time_deriv_label=flat(time_deriv_label),
         rollout=flat(rollout),
+        traj_ids=jnp.repeat(jnp.arange(num_traj, dtype=jnp.int32), usable),
     )
 
 
@@ -308,6 +316,7 @@ def sample_training_batch(
         deriv_labels={d: v[traj_idx, time_idx] for d, v in data.deriv_labels.items()},
         time_deriv_label=data.time_deriv_label[traj_idx, time_idx],
         rollout=rollout,
+        traj_ids=traj_idx.astype(jnp.int32),
     )
 
 

@@ -147,7 +147,64 @@ def _slice_batch(dataset: data_lib.TrainingData, idx: jnp.ndarray) -> data_lib.T
         deriv_labels={d: take(v) for d, v in dataset.deriv_labels.items()},
         time_deriv_label=take(dataset.time_deriv_label),
         rollout=take(dataset.rollout),
+        traj_ids=(
+            take(dataset.traj_ids) if dataset.traj_ids is not None else None
+        ),
     )
+
+
+def _split_train_eval(
+    dataset: data_lib.TrainingData, frac_training: float, seed: int
+) -> tuple[np.ndarray, np.ndarray]:
+    """(train_idx, eval_idx) sample indices, split BY TRAJECTORY.
+
+    A random split of the flattened (trajectory, time) samples leaks each
+    eval trajectory's other timesteps into training, so eval losses are
+    optimistically biased (the `_train_on_trajectories` path always split
+    by trajectory; this brings the flat path in line). Falls back to the
+    sample-level split — with a leakage warning — only when the dataset
+    carries no trajectory ids (externally built TrainingData).
+    """
+    import warnings
+
+    n = dataset.num_samples
+    rng = np.random.RandomState(seed)
+    if dataset.traj_ids is None:
+        warnings.warn(
+            "dataset carries no traj_ids: falling back to a sample-level "
+            "train/eval split, which leaks eval trajectories' other "
+            "timesteps into training (eval losses will read optimistic). "
+            "Build the dataset with build_training_data to get the "
+            "by-trajectory split.",
+            stacklevel=3,
+        )
+        perm = rng.permutation(n)
+        n_train = int(frac_training * n)
+        if n_train in (0, n):
+            # mean over an empty split would silently yield NaN metrics
+            raise ValueError(
+                f"eval split is empty ({n} samples, frac_training="
+                f"{frac_training}): lower frac_training or add data"
+            )
+        return perm[:n_train], perm[n_train:]
+    ids = np.asarray(dataset.traj_ids)
+    unique = np.unique(ids)
+    traj_perm = rng.permutation(unique)
+    n_train_traj = int(frac_training * unique.size)
+    train_traj = traj_perm[:n_train_traj]
+    mask = np.isin(ids, train_traj)
+    # shuffle within each split so fixed-size batch slices don't correlate
+    # with trajectory order
+    train_idx = rng.permutation(np.nonzero(mask)[0])
+    eval_idx = rng.permutation(np.nonzero(~mask)[0])
+    if eval_idx.size == 0 or train_idx.size == 0:
+        raise ValueError(
+            f"train or eval split is empty under the by-trajectory split "
+            f"({unique.size} trajectories, frac_training={frac_training}): "
+            "adjust frac_training or add trajectories (evaluating on "
+            "training trajectories would defeat the no-leakage guarantee)"
+        )
+    return train_idx, eval_idx
 
 
 def train(
@@ -208,18 +265,12 @@ def train(
             unroll_steps=config.num_time_steps,
         )
 
-    n = dataset.num_samples
-    n_train = int(config.frac_training * n)
-    if n_train == n:
-        # mean over an empty eval slice would silently yield NaN metrics
-        # (the trajectory path raises for the same condition)
-        raise ValueError(
-            f"eval split is empty ({n} samples, frac_training="
-            f"{config.frac_training}): lower frac_training or add data"
-        )
-    perm = np.random.RandomState(config.seed).permutation(n)
-    train_set = _slice_batch(dataset, jnp.asarray(perm[:n_train]))
-    eval_set = _slice_batch(dataset, jnp.asarray(perm[n_train:]))
+    train_idx, eval_idx = _split_train_eval(
+        dataset, config.frac_training, config.seed
+    )
+    n_train = train_idx.size
+    train_set = _slice_batch(dataset, jnp.asarray(train_idx))
+    eval_set = _slice_batch(dataset, jnp.asarray(eval_idx))
 
     substeps = config.coarse_time_subsample
     if substeps == 0:  # auto: respect the coarse grid's explicit-RK4 CFL

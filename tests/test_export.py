@@ -233,6 +233,33 @@ class TestScienceContext:
         with pytest.raises(ValueError, match="fine_size/resample_factor"):
             export.science_context(served.meta)
 
+    def test_export_owns_equation_params(self, tmp_path):
+        """A library caller exporting a non-default-physics model (eq.eta
+        override) must get an artifact whose science_context rebuilds the
+        SAME physics — without the CLI's extra_meta patching (round-3
+        VERDICT missing #2)."""
+        eq = equations.from_name(
+            "burgers", conservative=True, eta=0.02, forcing_k_max=9
+        )
+        grid = Grid(64, eq.period)
+        model = StencilModel(
+            eq, grid, ModelConfig(num_layers=2, filters=8, stencil_size=6)
+        )
+        params = model.init_params(jax.random.PRNGKey(0))
+        meta = export.export_and_save(
+            model, params, str(tmp_path / "eta"), num_steps=0,
+            fine_size=256, resample_factor=4,
+        )
+        assert meta["equation_params"]["eta"] == 0.02
+        rebuilt, _, _ = export.science_context(meta)
+        assert rebuilt.eta == 0.02
+        assert rebuilt.forcing_k_max == 9
+        assert rebuilt.conservative
+        # the round-trip survives JSON serialization on disk too
+        served = export.load_served_model(str(tmp_path / "eta"))
+        rebuilt2, _, _ = export.science_context(served.meta)
+        assert rebuilt2 == eq
+
     def test_export_model_science_kwargs_land_in_meta(self, tmp_path):
         model, params = _make_model("ks")
         meta = export.export_and_save(

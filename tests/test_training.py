@@ -334,6 +334,42 @@ class TestTrainLoop:
         _, params, _ = loop_lib.train(TINY, checkpoint_dir=ckpt_dir)
         assert params is not None
 
+    def test_flat_split_is_by_trajectory(self):
+        """No trajectory may appear in both train and eval splits (the flat
+        path used to split flattened samples randomly, leaking each eval
+        trajectory's other timesteps into training — round-3 VERDICT #3)."""
+        eq = equations.from_name("burgers", conservative=True)
+        fine = Grid(64, eq.period)
+        snaps = generate_snapshots(
+            eq, fine, jax.random.PRNGKey(0), num_trajectories=5, num_times=8,
+            time_delta=0.1,
+        )
+        data = build_training_data(eq, fine, snaps, resample_factor=4,
+                                   unroll_steps=2)
+        assert data.traj_ids is not None
+        train_idx, eval_idx = loop_lib._split_train_eval(data, 0.6, seed=0)
+        ids = np.asarray(data.traj_ids)
+        train_traj = set(ids[train_idx].tolist())
+        eval_traj = set(ids[eval_idx].tolist())
+        assert train_traj and eval_traj
+        assert not (train_traj & eval_traj)
+        # every sample lands in exactly one split
+        assert sorted(np.concatenate([train_idx, eval_idx]).tolist()) == list(
+            range(data.num_samples)
+        )
+
+    def test_split_without_traj_ids_warns(self):
+        eq = equations.from_name("burgers", conservative=True)
+        fine = Grid(64, eq.period)
+        snaps = generate_snapshots(
+            eq, fine, jax.random.PRNGKey(0), num_trajectories=2, num_times=6,
+            time_delta=0.1,
+        )
+        data = build_training_data(eq, fine, snaps, resample_factor=4)
+        stripped = data._replace(traj_ids=None)
+        with pytest.warns(UserWarning, match="no traj_ids"):
+            loop_lib._split_train_eval(stripped, 0.8, seed=0)
+
     def test_empty_eval_split_raises(self):
         """frac_training=1 must raise instead of yielding NaN eval metrics."""
         eq = equations.from_name(TINY.equation, conservative=True)
