@@ -50,6 +50,13 @@ flags.DEFINE_integer(
     "model's own stencil width, so 'beats the baseline' always means "
     "'beats classic stencils of equal width' (a narrower baseline can be "
     "the unstable one, flattering the model)")
+flags.DEFINE_string(
+    "reference_cache_dir", "auto",
+    "content-keyed on-disk cache for the exact fine reference solve (the "
+    "dominant evaluation cost; key covers equation params, grid, PRNG key "
+    "bits and the sampling protocol, so a hit is bit-identical to "
+    "recomputing). 'auto' (default) = the user cache dir "
+    "(~/.cache/pde_superresolution_tpu/exact_refs); '' disables")
 flags.DEFINE_integer(
     "domain_factor", 1,
     "evaluate the checkpoint on a domain this many times LARGER than it "
@@ -134,6 +141,11 @@ def main(argv):
         warmup_time=FLAGS.warmup_time,
         correlation_threshold=FLAGS.correlation_threshold,
         ic_scale=FLAGS.ic_scale,
+        reference_cache_dir=(
+            eval_lib.default_reference_cache_dir()
+            if FLAGS.reference_cache_dir == "auto"
+            else (FLAGS.reference_cache_dir or None)
+        ),
     )
     eval_lib.save_eval_h5(FLAGS.output_path, result)
     rel_times = result.times - result.times[0]

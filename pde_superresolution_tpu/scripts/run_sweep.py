@@ -37,6 +37,12 @@ flags.DEFINE_integer(
     "model's own stencil width, so 'beats the baseline' always means "
     "'beats classic stencils of equal width' (a narrower baseline can be "
     "the unstable one, flattering the model)")
+flags.DEFINE_string(
+    "reference_cache_dir", "auto",
+    "content-keyed cache for exact reference solves — sweep rows sharing "
+    "one (equation, protocol) reuse ONE fine solve across resample "
+    "factors. 'auto' = ~/.cache/pde_superresolution_tpu/exact_refs; "
+    "'' disables")
 
 
 def main(argv):
@@ -75,6 +81,11 @@ def main(argv):
             time_delta=config.time_delta,
             warmup_time=FLAGS.eval_warmup,
             ic_scale=config.ic_scale,
+            reference_cache_dir=(
+                eval_lib.default_reference_cache_dir()
+                if FLAGS.reference_cache_dir == "auto"
+                else (FLAGS.reference_cache_dir or None)
+            ),
         )
         record = {
             "factor": factor,

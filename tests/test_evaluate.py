@@ -116,6 +116,110 @@ class TestEvaluateEndToEnd:
         np.testing.assert_allclose(corr0, 1.0, atol=1e-3)
 
 
+class TestReferenceCache:
+    """Content-keyed cache for the exact fine reference solve."""
+
+    EQ = equations.BurgersEquation(eta=0.05, conservative=True)
+
+    def _evaluate(self, cache_dir, factor=4, **kwargs):
+        fine = Grid(256, self.EQ.period)
+        scheme = lambda forcing: integrate.PolynomialDifferentiator(
+            self.EQ, fine.resample(factor)
+        ).rhs_fn(forcing)
+        defaults = dict(
+            key=jax.random.PRNGKey(0), num_samples=2, time_max=0.5,
+            time_delta=0.1,
+        )
+        defaults.update(kwargs)
+        return evaluate.evaluate(
+            self.EQ, fine, factor, {"baseline": scheme},
+            reference_cache_dir=cache_dir, **defaults,
+        )
+
+    def test_hit_skips_solve_and_is_bit_identical(self, tmp_path, monkeypatch):
+        cache = str(tmp_path / "refs")
+        uncached = self._evaluate(None)
+        calls = []
+        orig = integrate.exact_solve_sampled
+        monkeypatch.setattr(
+            integrate, "exact_solve_sampled",
+            lambda *a, **k: calls.append(1) or orig(*a, **k),
+        )
+        first = self._evaluate(cache)
+        assert len(calls) == 1  # miss: computed + stored
+        second = self._evaluate(cache)
+        assert len(calls) == 1  # hit: NOT recomputed
+        for result in (first, second):
+            np.testing.assert_array_equal(
+                np.asarray(result.exact), np.asarray(uncached.exact)
+            )
+            np.testing.assert_array_equal(
+                np.asarray(result.mae["baseline"]),
+                np.asarray(uncached.mae["baseline"]),
+            )
+
+    def test_fine_solve_shared_across_resample_factors(
+        self, tmp_path, monkeypatch
+    ):
+        """Sweep rows at different factors reuse ONE fine solve (the factor
+        is deliberately not in the cache key)."""
+        cache = str(tmp_path / "refs")
+        calls = []
+        orig = integrate.exact_solve_sampled
+        monkeypatch.setattr(
+            integrate, "exact_solve_sampled",
+            lambda *a, **k: calls.append(1) or orig(*a, **k),
+        )
+        r4 = self._evaluate(cache, factor=4)
+        r8 = self._evaluate(cache, factor=8)
+        assert len(calls) == 1
+        assert r4.exact.shape[-1] == 64 and r8.exact.shape[-1] == 32
+        import os
+
+        assert len([f for f in os.listdir(cache) if f.endswith(".h5")]) == 1
+
+    def test_key_sensitivity(self):
+        """Anything that changes a bit of the solve changes the key."""
+        fine = Grid(256, self.EQ.period)
+        base = dict(
+            equation=self.EQ, fine_grid=fine, key=jax.random.PRNGKey(0),
+            num_samples=2, time_delta=0.1, num_times=6, warmup_time=0.0,
+            ic_scale=1.0, exact_dt_cap=None,
+        )
+        h0, _ = evaluate._reference_cache_key(**base)
+        import dataclasses
+
+        variants = [
+            {**base, "key": jax.random.PRNGKey(1)},
+            {**base, "ic_scale": 0.5},
+            {**base, "num_times": 7},
+            {**base, "warmup_time": 1.0},
+            {**base, "num_samples": 3},
+            {**base, "exact_dt_cap": 0.01},
+            {**base, "equation": dataclasses.replace(self.EQ, eta=0.02)},
+            {**base, "fine_grid": Grid(512, self.EQ.period)},
+        ]
+        hashes = [evaluate._reference_cache_key(**v)[0] for v in variants]
+        assert h0 not in hashes
+        assert len(set(hashes)) == len(hashes)
+
+    def test_forcing_round_trips_through_cache(self, tmp_path):
+        """Forced equations must reload the stored forcing draw (the rhs
+        closures depend on it)."""
+        eq = equations.BurgersEquation(eta=0.05, conservative=True)
+        fine = Grid(256, eq.period)
+        cache = str(tmp_path / "refs")
+        args = (
+            cache, eq, fine, jax.random.PRNGKey(3), 2, 0.1, 4, 0.0, 1.0, None,
+        )
+        times1, traj1, forcing1 = evaluate._cached_exact_solve(*args)
+        times2, traj2, forcing2 = evaluate._cached_exact_solve(*args)
+        np.testing.assert_array_equal(np.asarray(traj1), np.asarray(traj2))
+        assert forcing1 is not None and forcing2 is not None
+        for a, b in zip(forcing1, forcing2):
+            np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+
+
 class TestMAESurvival:
     def test_threshold_crossing(self):
         times = jnp.asarray([0.0, 1.0, 2.0, 3.0])
