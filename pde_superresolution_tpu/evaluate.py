@@ -312,9 +312,24 @@ def evaluate(
         # family check (the docstring's coarse-graining hazard, enforced at
         # runtime): rhs_fn closures carry a .conservative tag; a scheme of
         # the other family is being compared against this family's
-        # coarse-graining — a half-cell interpretation mismatch.
+        # coarse-graining — a half-cell interpretation mismatch. DEFAULT-
+        # DENY: an untagged closure cannot be verified, so it warns too
+        # (every library-built rhs carries the tag; tag user closures with
+        # ``rhs.conservative = True/False`` to assert the family).
         family = getattr(rhs, "conservative", None)
-        if family is not None and family != equation.conservative:
+        if family is None:
+            warnings.warn(
+                f"scheme {name!r} carries no .conservative family tag, so "
+                "its coarse-graining family (cell-average vs point-value) "
+                "cannot be verified against this evaluation's "
+                f"{'conservative' if equation.conservative else 'non-conservative'}"
+                " coarse-graining — if the families differ, its initial"
+                " conditions and exact reference are half a cell off. Set"
+                " rhs.conservative = True/False on the closure to assert"
+                " the family and silence this warning.",
+                stacklevel=2,
+            )
+        elif family != equation.conservative:
             warnings.warn(
                 f"scheme {name!r} is a "
                 f"{'conservative (cell-average)' if family else 'non-conservative (point-value)'}"

@@ -50,7 +50,9 @@ class TestEvaluateEndToEnd:
         def garbage_factory(forcing):
             # exponentially amplifies a spatially-scrambled copy: decorrelates
             # (a constant-in-x blowup would NOT — Pearson is shift-invariant)
-            return lambda u, t: 20.0 * jnp.roll(u, u.shape[-1] // 3, -1)
+            rhs = lambda u, t: 20.0 * jnp.roll(u, u.shape[-1] // 3, -1)
+            rhs.conservative = True  # assert the family (default-deny check)
+            return rhs
 
         result = evaluate.evaluate(
             eq,
@@ -266,16 +268,39 @@ class TestFamilyWarning:
             warnings.simplefilter("error", UserWarning)
             self._run(eq, eq)()
 
-    def test_untagged_scheme_tolerated(self):
+    def test_untagged_scheme_warns(self):
+        """Default-deny: a closure without the .conservative tag cannot be
+        verified, so it warns too (round-3 VERDICT weak #5 — an optional tag
+        silently skipped the half-cell hazard check)."""
+        import pytest
+
+        eq = equations.from_name("ks", conservative=True)
+        fine = Grid(64, eq.period)
+        with pytest.warns(UserWarning, match="no .conservative family tag"):
+            evaluate.evaluate(
+                eq, fine, 2,
+                {"raw": lambda f: (lambda u, t: -u)},
+                key=jax.random.PRNGKey(0), num_samples=1,
+                time_max=0.1, time_delta=0.05, ic_scale=0.1,
+            )
+
+    def test_tagged_user_closure_silent(self):
+        """Tagging a user closure asserts the family and silences the
+        default-deny warning."""
         import warnings
 
         eq = equations.from_name("ks", conservative=True)
         fine = Grid(64, eq.period)
+
+        def factory(forcing):
+            rhs = lambda u, t: -u
+            rhs.conservative = True
+            return rhs
+
         with warnings.catch_warnings():
             warnings.simplefilter("error", UserWarning)
             evaluate.evaluate(
-                eq, fine, 2,
-                {"raw": lambda f: (lambda u, t: -u)},
+                eq, fine, 2, {"tagged": factory},
                 key=jax.random.PRNGKey(0), num_samples=1,
                 time_max=0.1, time_delta=0.05, ic_scale=0.1,
             )
