@@ -43,6 +43,28 @@ flags.DEFINE_boolean("large_ensemble", False,
                      "datasets that the flat pipeline cannot hold")
 flags.DEFINE_integer("chunk_trajectories", 1024,
                      "trajectories per generation chunk (large_ensemble)")
+flags.DEFINE_enum("host_data", "auto", ["auto", "true", "false"],
+                  "stage the large_ensemble dataset in HOST memory and ship "
+                  "only each batch to the device (generation still runs on "
+                  "device, chunk by chunk). Required for ensembles larger "
+                  "than HBM (~40k KS-8x trajectories fill a 16 GB v5e once "
+                  "params/rollouts are accounted for); costs per-step "
+                  "host->device transfer of one batch. auto = host-stage "
+                  "when the estimated dataset exceeds 6 GB")
+
+# auto --host_data threshold: leave headroom on a 16 GB v5e for the fine
+# generation chunks, model/optimizer state and unrolled-loss activations
+_HOST_DATA_AUTO_BYTES = 6 * 1024**3
+
+
+def _estimated_dataset_bytes(equation, config) -> int:
+    """f32 bytes of the TrajectoryData arrays the config will build."""
+    nx_c = config.fine_size // config.resample_factor
+    usable = config.num_times - config.num_time_steps
+    per_traj = nx_c * (
+        config.num_times + (len(equation.derivative_orders) + 1) * usable
+    )
+    return 4 * config.num_trajectories * per_traj
 
 
 def main(argv):
@@ -63,6 +85,16 @@ def main(argv):
             **config.equation_params,
         )
         fine = Grid(config.fine_size, equation.period)
+        if FLAGS.host_data == "auto":
+            est = _estimated_dataset_bytes(equation, config)
+            host_resident = est > _HOST_DATA_AUTO_BYTES
+            if host_resident:
+                print(f"host_data=auto: estimated dataset "
+                      f"{est / 1024**3:.1f} GB > "
+                      f"{_HOST_DATA_AUTO_BYTES / 1024**3:.0f} GB — staging "
+                      "on host (per-batch device transfer)")
+        else:
+            host_resident = FLAGS.host_data == "true"
         dataset = data_lib.build_trajectory_data(
             equation, fine, jax.random.PRNGKey(config.data_seed),
             num_trajectories=config.num_trajectories,
@@ -73,6 +105,7 @@ def main(argv):
             warmup_time=config.warmup_time,
             ic_scale=config.ic_scale,
             chunk_trajectories=FLAGS.chunk_trajectories,
+            host_resident=host_resident,
         )
     if FLAGS.input_path:
         import dataclasses

@@ -212,6 +212,13 @@ class TrajectoryData(typing.NamedTuple):
     unroll 8 would need ~10 GB for rollouts alone), rollout windows here are
     gathered ON THE FLY from the full coarse series when a batch is sampled.
     HBM cost is one copy of each label array.
+
+    Leaves are either device arrays (default: the whole dataset lives in
+    HBM, batch gathers are jitted) or HOST numpy arrays
+    (``build_trajectory_data(host_resident=True)``): batch gathers then run
+    in numpy and only the gathered batch crosses to the device each step —
+    the path for ensembles larger than HBM (~40k KS-8x trajectories fill a
+    16 GB v5e once params/rollouts are accounted for).
     """
 
     series: jnp.ndarray  # [traj, num_times, nx] full coarse series
@@ -229,6 +236,18 @@ class TrajectoryData(typing.NamedTuple):
     def usable_times(self) -> int:
         return self.series.shape[1] - self.unroll_steps
 
+    @property
+    def host_resident(self) -> bool:
+        return isinstance(self.series, np.ndarray)
+
+    def nbytes(self) -> int:
+        """Total array bytes (device or host) held by this dataset."""
+        arrays = [self.series, self.times, self.time_deriv_label]
+        arrays += list(self.deriv_labels.values())
+        if self.forcing is not None:
+            arrays += jax.tree.leaves(self.forcing)
+        return sum(a.nbytes for a in arrays)
+
 
 def build_trajectory_data(
     equation: Equation,
@@ -242,17 +261,30 @@ def build_trajectory_data(
     warmup_time: float = 0.0,
     ic_scale: float = 1.0,
     chunk_trajectories: int = 512,
+    host_resident: bool = False,
 ) -> TrajectoryData:
     """Generate a large ensemble in trajectory chunks (fine snapshots are
     discarded per chunk; only coarse fields/labels accumulate), on device.
 
     A 10k-trajectory KS-8x dataset costs ~6 GB HBM this way (vs >10 GB fine
     snapshots + >10 GB materialized rollouts for the flat pipeline).
+
+    With ``host_resident=True`` each chunk's coarse fields/labels are pulled
+    to host numpy as soon as they are computed (generation itself — the
+    fine ETDRK4 solves and label spectral math — still runs on device, one
+    chunk of fine snapshots in HBM at a time). The returned dataset's leaves
+    are numpy; batch sampling gathers on host and ships only the batch to
+    the device. This is how ensembles LARGER than HBM train: the dataset
+    size is then bounded by host RAM, not the chip (65k KS-8x trajectories
+    ≈ 9 GB host vs a 16 GB v5e that also needs params + rollout activations).
     """
     chunks = []
     times = None
     usable = num_times - unroll_steps
     num_chunks = int(np.ceil(num_trajectories / chunk_trajectories))
+    to_host = (lambda t: jax.tree.map(np.asarray, t)) if host_resident else (
+        lambda t: t
+    )
     for c in range(num_chunks):
         n_c = min(chunk_trajectories, num_trajectories - c * chunk_trajectories)
         snaps = generate_snapshots(
@@ -264,28 +296,31 @@ def build_trajectory_data(
         )
         chunks.append(
             TrajectoryData(
-                series=series,
+                series=to_host(series),
                 times=snaps.times,
-                forcing=snaps.forcing,
-                deriv_labels=deriv_labels,
-                time_deriv_label=ut_label,
+                forcing=to_host(snaps.forcing),
+                deriv_labels=to_host(deriv_labels),
+                time_deriv_label=to_host(ut_label),
                 unroll_steps=unroll_steps,
             )
         )
         times = snaps.times
-    cat = lambda leaves: jnp.concatenate(leaves, axis=0)
+    cat = (np.concatenate if host_resident else jnp.concatenate)
+    cat_leaves = lambda leaves: cat(leaves, axis=0)
     forcing = None
     if chunks[0].forcing is not None:
-        forcing = jax.tree.map(lambda *l: cat(list(l)), *[c.forcing for c in chunks])
+        forcing = jax.tree.map(
+            lambda *l: cat_leaves(list(l)), *[c.forcing for c in chunks]
+        )
     return TrajectoryData(
-        series=cat([c.series for c in chunks]),
-        times=times,
+        series=cat_leaves([c.series for c in chunks]),
+        times=np.asarray(times) if host_resident else times,
         forcing=forcing,
         deriv_labels={
-            d: cat([c.deriv_labels[d] for c in chunks])
+            d: cat_leaves([c.deriv_labels[d] for c in chunks])
             for d in chunks[0].deriv_labels
         },
-        time_deriv_label=cat([c.time_deriv_label for c in chunks]),
+        time_deriv_label=cat_leaves([c.time_deriv_label for c in chunks]),
         unroll_steps=unroll_steps,
     )
 
@@ -299,10 +334,17 @@ def sample_training_batch(
     """Gather a flat TrainingData batch (with rollout windows) from the
     structured dataset. Pure gathers; rollout windows are sliced from
     ``series`` on the fly. Under jit, pass ``unroll_steps`` explicitly as a
-    static argument (the NamedTuple field would trace as a leaf)."""
+    static argument (the NamedTuple field would trace as a leaf).
+
+    Works unchanged on a host-resident dataset (numpy leaves + numpy
+    indices): the gathers then run in numpy on the host and the returned
+    batch is numpy — the caller's jitted step transfers just the batch.
+    Do NOT jit this function over a host-resident dataset (jit would
+    device_put the whole series every call, defeating the staging)."""
     k = data.unroll_steps if unroll_steps is None else unroll_steps
+    xp = np if data.host_resident else jnp
     inputs = data.series[traj_idx, time_idx]
-    window = time_idx[:, None] + jnp.arange(1, k + 1)  # [B, K]
+    window = time_idx[:, None] + xp.arange(1, k + 1)  # [B, K]
     rollout = data.series[traj_idx[:, None], window]  # [B, K, nx]
     forcing = (
         jax.tree.map(lambda leaf: leaf[traj_idx], data.forcing)
@@ -316,7 +358,7 @@ def sample_training_batch(
         deriv_labels={d: v[traj_idx, time_idx] for d, v in data.deriv_labels.items()},
         time_deriv_label=data.time_deriv_label[traj_idx, time_idx],
         rollout=rollout,
-        traj_ids=traj_idx.astype(jnp.int32),
+        traj_ids=traj_idx.astype(xp.int32),
     )
 
 

@@ -458,15 +458,21 @@ def _train_on_trajectories(
         substeps = max(1, int(np.ceil(config.time_delta / stable)))
     dt = config.time_delta
 
-    sample = jax.jit(
-        functools.partial(
-            data_lib.sample_training_batch, unroll_steps=data.unroll_steps
-        )
+    sample = functools.partial(
+        data_lib.sample_training_batch, unroll_steps=data.unroll_steps
     )
+    if data.host_resident:
+        # host-staged dataset (numpy leaves): gather in numpy on the host
+        # and ship only the batch each step. Jitting the gather here would
+        # device_put the WHOLE series on every call, defeating the staging.
+        as_idx = np.asarray
+    else:
+        sample = jax.jit(sample)
+        as_idx = jnp.asarray
 
     def draw(rng, traj_pool, size):
-        ti = jnp.asarray(rng.choice(traj_pool, size=size))
-        si = jnp.asarray(rng.randint(0, usable, size=size))
+        ti = as_idx(rng.choice(traj_pool, size=size))
+        si = as_idx(rng.randint(0, usable, size=size))
         return sample(data, ti, si)
 
     if eval_traj.size == 0:

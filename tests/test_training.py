@@ -500,6 +500,57 @@ class TestTrajectoryData:
         for a, b in zip(jax.tree.leaves(restored), jax.tree.leaves(params)):
             np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
 
+    def test_host_resident_matches_device_resident(self):
+        """The host-staged dataset (numpy leaves, per-batch transfer) must
+        hold the same arrays as the device-resident build and train to the
+        same params — it is a memory-placement choice, not a data change."""
+        from pde_superresolution_tpu.training import (
+            build_trajectory_data,
+            sample_training_batch,
+        )
+        import dataclasses as dc
+        import jax.numpy as jnp
+
+        cfg = dc.replace(TINY, num_time_steps=2, learning_stops=(4,),
+                         batch_size=8, eval_interval=4)
+        eq = equations.from_name(cfg.equation, conservative=cfg.conservative)
+        fine = Grid(cfg.fine_size, eq.period)
+        build = lambda host: build_trajectory_data(
+            eq, fine, jax.random.PRNGKey(0), num_trajectories=4,
+            num_times=12, time_delta=cfg.time_delta,
+            resample_factor=cfg.resample_factor,
+            unroll_steps=cfg.num_time_steps, chunk_trajectories=2,
+            host_resident=host,
+        )
+        dev, host = build(False), build(True)
+        assert not dev.host_resident and host.host_resident
+        assert isinstance(host.series, np.ndarray)
+        assert isinstance(host.time_deriv_label, np.ndarray)
+        assert host.nbytes() == dev.nbytes()
+        np.testing.assert_array_equal(host.series, np.asarray(dev.series))
+        for d in dev.deriv_labels:
+            np.testing.assert_array_equal(
+                host.deriv_labels[d], np.asarray(dev.deriv_labels[d])
+            )
+
+        # identical gathers through both paths (numpy vs jit/device)
+        ti, si = np.asarray([0, 3, 1]), np.asarray([0, 5, 9])
+        b_host = sample_training_batch(host, ti, si)
+        b_dev = sample_training_batch(dev, jnp.asarray(ti), jnp.asarray(si))
+        assert isinstance(b_host.inputs, np.ndarray)
+        np.testing.assert_array_equal(b_host.inputs, np.asarray(b_dev.inputs))
+        np.testing.assert_array_equal(b_host.rollout, np.asarray(b_dev.rollout))
+        np.testing.assert_array_equal(b_host.t, np.asarray(b_dev.t))
+
+        # same training outcome (batch streams are a pure function of seed)
+        _, p_dev, m_dev = loop_lib.train(cfg, dataset=dev)
+        _, p_host, m_host = loop_lib.train(cfg, dataset=host)
+        for a, b in zip(jax.tree.leaves(p_dev), jax.tree.leaves(p_host)):
+            np.testing.assert_allclose(
+                np.asarray(a), np.asarray(b), rtol=1e-6, atol=1e-7
+            )
+        assert abs(m_dev["eval_total"] - m_host["eval_total"]) < 1e-5
+
 
 class TestLegacy2DH5:
     @staticmethod
