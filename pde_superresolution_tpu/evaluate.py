@@ -303,7 +303,12 @@ def evaluate(
         stable = equation.stable_time_step(coarse, u_scale=3.0)
         inner = max(1, int(np.ceil(time_delta / stable)))
     else:
-        inner = max(1, int(round(time_delta / coarse_dt)))
+        # ceil, not round: when coarse_dt does not divide time_delta the
+        # requested step is impossible and FINER is the only safe side —
+        # rounding down would integrate beyond a stability bound passed
+        # here (e.g. KdV-16x: 0.05/0.0222 = 2.25 would round to 2 inner
+        # steps, dt 0.025 > the bound)
+        inner = max(1, int(np.ceil(time_delta / coarse_dt - 1e-9)))
     dt_coarse = time_delta / inner
 
     trajectories, mae, corr_d, surv = {}, {}, {}, {}

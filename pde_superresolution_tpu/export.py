@@ -109,7 +109,9 @@ def export_model(
     m = equation.num_forcing_terms if forced else 0
 
     if num_steps and dt is None:
-        dt = float(equation.stable_time_step(grid, u_scale=3.0))
+        # model-aware CFL: wide stencils have larger spectral radii than
+        # the equation-level bound assumes (StencilModel.stable_time_step)
+        dt = float(model.stable_time_step(u_scale=3.0))
 
     def with_forcing(fn):
         if not forced:

@@ -76,7 +76,12 @@ def receptive_radius(config: ConvTowerConfig) -> int:
     return config.num_layers * ((config.kernel_size - 1) // 2)
 
 
-def conv_tower_apply(params: dict, u: jnp.ndarray, periodic: bool = True) -> dict:
+def conv_tower_apply(
+    params: dict,
+    u: jnp.ndarray,
+    periodic: bool = True,
+    dtype: jnp.dtype | None = None,
+) -> dict:
     """Run the tower on a field ``u [..., nx]`` -> {head: [..., out, dims]}.
 
     Arbitrary leading batch dims are flattened for the conv and restored.
@@ -85,22 +90,32 @@ def conv_tower_apply(params: dict, u: jnp.ndarray, periodic: bool = True) -> dic
     applied: each conv is VALID, so the output length shrinks by
     ``2 * receptive_radius`` — callers feed halo-padded shards
     (parallel/sharded.py).
+
+    ``dtype`` (e.g. ``jnp.bfloat16``) sets the ACTIVATION compute dtype:
+    the field and the (float32 master) params are cast on entry, and head
+    outputs are cast back to float32 on exit — so downstream consumers
+    (the HIGHEST-precision constraint projection) are unaffected. The
+    matmuls already run bf16 on the TPU MXU by default; this additionally
+    halves activation HBM traffic (ModelConfig.tower_dtype).
     """
     u = jnp.asarray(u)
     batch_shape = u.shape[:-1]
     nx = u.shape[-1]
     h = u.reshape((-1, nx, 1))
+    cast = (lambda x: x.astype(dtype)) if dtype is not None else (lambda x: x)
+    h = cast(h)
     for w, b in params["tower"]:
         if periodic:
             h = _periodic_pad(h, w.shape[0])
         h = jax.lax.conv_general_dilated(
-            h, w, (1,), "VALID", dimension_numbers=("NWC", "WIO", "NWC")
+            h, cast(w), (1,), "VALID", dimension_numbers=("NWC", "WIO", "NWC")
         )
-        h = jax.nn.relu(h + b)
+        h = jax.nn.relu(h + cast(b))
     out = {}
     for name, (w, b) in params["heads"].items():
         z = jax.lax.conv_general_dilated(
-            h, w, (1,), "VALID", dimension_numbers=("NWC", "WIO", "NWC")
-        ) + b
+            h, cast(w), (1,), "VALID", dimension_numbers=("NWC", "WIO", "NWC")
+        ) + cast(b)
+        z = z.astype(jnp.float32)
         out[name] = z.reshape(batch_shape + (z.shape[1], z.shape[-1]))
     return out

@@ -49,6 +49,14 @@ class ModelConfig:
     polynomial_accuracy_scale: float = 1.0  # multiplier on the default scale
     # 0 disables the constraint layer: coefficients = classic + raw net output
     constrained: bool = True
+    # compute dtype of the conv-tower ACTIVATIONS ("float32" | "bfloat16").
+    # Params stay float32 (master weights) and head outputs are cast back
+    # to float32 before the HIGHEST-precision constraint projection, so
+    # only the tower's intermediate activations (and their HBM traffic —
+    # roughly half the rollout's memory time) change width. The matmuls
+    # already run bf16 on the MXU by default; bfloat16 here additionally
+    # halves activation traffic in the unrolled-training rollout.
+    tower_dtype: str = "float32"
 
     def tower(self) -> conv_net.ConvTowerConfig:
         return conv_net.ConvTowerConfig(
@@ -122,7 +130,12 @@ class StencilModel:
 
         Returns {order: [..., nx, stencil_size]}.
         """
-        zs = conv_net.conv_tower_apply(params, u)
+        dtype = (
+            None
+            if self.config.tower_dtype == "float32"
+            else jnp.dtype(self.config.tower_dtype)
+        )
+        zs = conv_net.conv_tower_apply(params, u, dtype=dtype)
         return {
             d: layer(zs[str(d)]) for d, layer in self.constraint_layers.items()
         }
@@ -157,6 +170,75 @@ class StencilModel:
     ) -> jnp.ndarray:
         derivs = self.derivatives(params, u)
         return self.equation.time_derivative(u, derivs, self.grid, t, forcing)
+
+    def linear_stability_bound(self) -> float:
+        """Exact explicit-RK4 stability limit of this model's z=0 (classic)
+        scheme's LINEAR part on its grid.
+
+        The scheme is shift-invariant on a periodic grid, so its
+        linearization at u=0 is circulant: ONE jvp with a unit impulse
+        gives the first column, whose FFT is the full eigenvalue set. The
+        bound is the largest dt with |R(dt λ)| ≤ max(1, |e^{dt λ}|) for
+        every eigenvalue λ (R = the RK4 amplification polynomial; the max
+        with |e^z| exempts physically unstable modes — KS's +k²−k⁴ band
+        grows under ANY integrator and must not force dt→0).
+        """
+        if getattr(self, "_linear_bound", None) is not None:
+            return self._linear_bound
+        nx = self.grid.size
+
+        def f(u):
+            derivs = self.baseline_derivatives(u[None])
+            return self.equation.time_derivative(
+                u[None], derivs, self.grid, jnp.zeros(()), None
+            )[0]
+
+        e0 = np.zeros(nx, np.float32)
+        e0[0] = 1.0
+        _, col = jax.jvp(f, (jnp.zeros(nx, jnp.float32),), (jnp.asarray(e0),))
+        lam = np.fft.fft(np.asarray(col, np.float64))
+
+        def rk4_amp(z):
+            return np.abs(1 + z + z**2 / 2 + z**3 / 6 + z**4 / 24)
+
+        def stable(dt):
+            z = dt * lam
+            cap = np.maximum(1.0, np.abs(np.exp(z)))
+            return bool((rk4_amp(z) <= cap + 1e-9).all())
+
+        lo, hi = 1e-9, 1e3
+        for _ in range(60):
+            mid = 0.5 * (lo + hi)
+            if stable(mid):
+                lo = mid
+            else:
+                hi = mid
+        self._linear_bound = float(lo)
+        return self._linear_bound
+
+    def stable_time_step(self, u_scale: float = 2.0, safety: float = 0.82) -> float:
+        """Stable explicit-RK4 step for THIS model's stencil widths.
+
+        The equation-level ``Equation.stable_time_step`` assumes the narrow
+        classic stencils' spectral radii (e.g. 16/dx⁴ for [1,−4,6,−4,1]).
+        Wider high-accuracy stencils have strictly LARGER radii — their
+        symbols approach the spectral one — and the equation bound becomes
+        unsafe as width grows: measured on KS 8× FV, the exact linear
+        margin at the equation dt is 1.59× (stencil 6), 1.23× (8), 1.05×
+        (10), and 0.95×/0.87× at stencils 12/14 — the last two NaN within
+        a few thousand steps at the equation dt
+        (tests/test_model.py::TestModelStableStep).
+        Returns min(equation bound, safety × exact linear bound): never
+        looser than the equation bound, tighter where width demands it.
+        ``safety=0.82`` is calibrated so the stencil-8 flagship recipe —
+        proven stable across three rounds of committed artifacts at margin
+        1.23× ≈ 1/0.82 — sits exactly at the no-change boundary: stencils
+        ≤8 keep their historical dt bit-for-bit, stencils ≥10 tighten in
+        the regimes (highest-derivative-bound) where the crude bound is
+        the unsafe one.
+        """
+        eq_dt = self.equation.stable_time_step(self.grid, u_scale=u_scale)
+        return min(eq_dt, safety * self.linear_stability_bound())
 
     def rhs_fn(
         self,

@@ -129,6 +129,17 @@ def main(argv):
             equation, coarse
         ).rhs_fn(forcing)
 
+    # model-aware CFL for live checkpoints: wide stencils need a tighter
+    # coarse dt than evaluate()'s equation-level default (the matched-width
+    # baseline and WENO schemes integrate at the same dt, which only ever
+    # tightens for them). Passed ONLY when it actually tightens, so every
+    # historical protocol (stencil ≤8) keeps its exact step count; the
+    # frozen exported path keeps the default.
+    coarse_dt = None
+    if FLAGS.checkpoint_dir:
+        model_dt = model.stable_time_step(u_scale=3.0)
+        if model_dt < equation.stable_time_step(coarse, u_scale=3.0):
+            coarse_dt = model_dt
     result = eval_lib.evaluate(
         equation,
         fine,
@@ -141,6 +152,7 @@ def main(argv):
         warmup_time=FLAGS.warmup_time,
         correlation_threshold=FLAGS.correlation_threshold,
         ic_scale=FLAGS.ic_scale,
+        coarse_dt=coarse_dt,
         reference_cache_dir=(
             eval_lib.default_reference_cache_dir()
             if FLAGS.reference_cache_dir == "auto"

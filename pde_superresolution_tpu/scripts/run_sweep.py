@@ -81,6 +81,15 @@ def main(argv):
             time_delta=config.time_delta,
             warmup_time=FLAGS.eval_warmup,
             ic_scale=config.ic_scale,
+            # model-aware CFL, passed only when it tightens (wide stencils;
+            # StencilModel.stable_time_step) — historical protocols keep
+            # their exact step counts
+            coarse_dt=(
+                model.stable_time_step(u_scale=3.0)
+                if model.stable_time_step(u_scale=3.0)
+                < equation.stable_time_step(model.grid, u_scale=3.0)
+                else None
+            ),
             reference_cache_dir=(
                 eval_lib.default_reference_cache_dir()
                 if FLAGS.reference_cache_dir == "auto"

@@ -273,8 +273,10 @@ def train(
     eval_set = _slice_batch(dataset, jnp.asarray(eval_idx))
 
     substeps = config.coarse_time_subsample
-    if substeps == 0:  # auto: respect the coarse grid's explicit-RK4 CFL
-        stable = equation.stable_time_step(coarse, u_scale=3.0)
+    if substeps == 0:  # auto: respect the MODEL's explicit-RK4 CFL (wide
+        # stencils have larger spectral radii than the equation-level
+        # bound assumes — StencilModel.stable_time_step)
+        stable = model.stable_time_step(u_scale=3.0)
         substeps = max(1, int(np.ceil(config.time_delta / stable)))
     dt = config.time_delta  # snapshot spacing; inner step = dt / substeps
     phases = config.curriculum_phases()  # ((unroll_k, end_step), ...)
@@ -453,8 +455,8 @@ def _train_on_trajectories(
     eval_traj = perm[n_train:]
 
     substeps = config.coarse_time_subsample
-    if substeps == 0:
-        stable = equation.stable_time_step(coarse, u_scale=3.0)
+    if substeps == 0:  # model-aware CFL (see train())
+        stable = model.stable_time_step(u_scale=3.0)
         substeps = max(1, int(np.ceil(config.time_delta / stable)))
     dt = config.time_delta
 

@@ -199,7 +199,8 @@ def main():
 
     # --- substeps ladder (full step) ---------------------------------------
     results["substeps_ladder"] = {}
-    for s in sorted({auto_substeps, 16, 12, 8, 1}):
+    ladder = () if parse_flag("skip_ladder", 0) else (auto_substeps, 16, 12, 8, 1)
+    for s in sorted(set(ladder)):
         f_s, _, _ = build_steps(s)
         ms, raw = timeit(f_s, params, opt_state, b, samples=samples,
                          fetch=fetch_p)
@@ -207,6 +208,30 @@ def main():
             "median_ms": round(ms, 1), "samples": raw,
         }
         print(f"substeps {s}: {ms:.1f} ms", file=sys.stderr)
+
+    # --- bf16 tower activations (ModelConfig.tower_dtype) ------------------
+    import dataclasses as _dc
+
+    model_bf = StencilModel(
+        eq, coarse, _dc.replace(cfg.model, tower_dtype="bfloat16")
+    )
+    saved_model = model
+    try:
+        # build_steps closes over main's `model` variable: rebinding it
+        # here makes the next build_steps call use the bf16-tower model
+        model = model_bf
+        f_bf, _, fwd_bf = build_steps(auto_substeps)
+        ms, raw = timeit(f_bf, params, opt_state, b, samples=samples,
+                         fetch=fetch_p)
+        results["full_bf16_tower_ms"] = {"median": round(ms, 1), "samples": raw}
+        ms_fb, _ = timeit(fwd_bf, params, b, samples=samples,
+                          fetch=lambda o: o)
+        results["fwd_bf16_tower_ms"] = {"median": round(ms_fb, 1)}
+        print(f"bf16 tower: full {results['full_bf16_tower_ms']['median']} ms"
+              f" (f32 {results['full_ms']['median']}), fwd {ms_fb:.1f}",
+              file=sys.stderr)
+    finally:
+        model = saved_model
 
     # --- draw + end-to-end step rate at both placements --------------------
     for name, data in datasets.items():
@@ -235,7 +260,10 @@ def main():
               f"step+draw {results[f'step_with_draw_{name}_ms']['median']} ms",
               file=sys.stderr)
 
-    with open("artifacts/r4_train_step_profile.json", "w") as f:
+    out = "artifacts/r4_train_step_profile.json"
+    if parse_flag("skip_ladder", 0):  # partial run: don't clobber the full one
+        out = "artifacts/r4_train_step_profile_partial.json"
+    with open(out, "w") as f:
         json.dump(results, f, indent=1)
     print(json.dumps(results))
 

@@ -46,6 +46,23 @@ def run_cli(module: str, argv: list[str], timeout: int = 300,
     del timeout  # in-process: pytest's own timeout discipline applies
     from absl import flags
 
+    def package_flags():
+        return {
+            f.name
+            for module, fs in flags.FLAGS.flags_by_module_dict().items()
+            if module in ("__main__", "prog")
+            or "pde_superresolution_tpu" in module
+            for f in fs
+        }
+
+    # purge package flags registered by OTHER means first — e.g.
+    # tests/test_analysis.py imports scripts.run_analysis as a module for
+    # make_figures, which registers its (required!) flags globally; absl
+    # validates EVERY registered flag at parse time, so a leftover
+    # required --output_dir fails an unrelated script's app.run
+    for name in package_flags() & set(flags.FLAGS):
+        delattr(flags.FLAGS, name)
+
     saved_argv = sys.argv
     saved_flags = set(flags.FLAGS)
     stdout, stderr = io.StringIO(), io.StringIO()
@@ -79,14 +96,7 @@ def run_cli(module: str, argv: list[str], timeout: int = 300,
         # records as sys.argv[0] ('prog'); library-side DEFINEs keep their
         # real module path. absl's built-ins live under 'absl.app' etc. and
         # are excluded by construction.
-        ours = {
-            f.name
-            for module, fs in flags.FLAGS.flags_by_module_dict().items()
-            if module in ("__main__", "prog")
-            or "pde_superresolution_tpu" in module
-            for f in fs
-        }
-        for name in (set(flags.FLAGS) - saved_flags) & ours:
+        for name in (set(flags.FLAGS) - saved_flags) & package_flags():
             delattr(flags.FLAGS, name)
     if expect_error is not None:
         assert error_text is not None, stdout.getvalue()[-2000:]
