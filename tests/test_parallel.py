@@ -190,6 +190,43 @@ class TestDataParallelTraining:
             )
         assert abs(m_dp["eval_total"] - m_single["eval_total"]) < 1e-3
 
+    def test_host_staged_trajectory_data_under_mesh(self):
+        """The host-staged dataset (numpy leaves) composes with DP: each
+        batch is gathered on host and device_put with the mesh sharding —
+        params match the device-resident DP run."""
+        import dataclasses as dc
+
+        from pde_superresolution_tpu.training import (
+            TrainingConfig,
+            build_trajectory_data,
+            loop as loop_lib,
+        )
+        from pde_superresolution_tpu import equations as eq_lib
+        from pde_superresolution_tpu.grids import Grid
+
+        cfg = TrainingConfig(
+            equation="burgers", conservative=True, resample_factor=4,
+            fine_size=128, num_trajectories=8, num_times=12, time_delta=0.1,
+            model=ModelConfig(num_layers=1, filters=4, stencil_size=4),
+            num_time_steps=2, learning_rates=(1e-3,), learning_stops=(3,),
+            batch_size=16, eval_interval=3, frac_training=0.75,
+        )
+        eq = eq_lib.from_name(cfg.equation, conservative=True)
+        fine = Grid(cfg.fine_size, eq.period)
+        build = lambda host: build_trajectory_data(
+            eq, fine, jax.random.PRNGKey(0), num_trajectories=8,
+            num_times=12, time_delta=0.1, resample_factor=4,
+            unroll_steps=2, chunk_trajectories=4, host_resident=host,
+        )
+        mesh = parallel.make_mesh()
+        _, p_host, m_host = loop_lib.train(cfg, dataset=build(True), mesh=mesh)
+        _, p_dev, m_dev = loop_lib.train(cfg, dataset=build(False), mesh=mesh)
+        for a, b in zip(jax.tree.leaves(p_host), jax.tree.leaves(p_dev)):
+            np.testing.assert_allclose(
+                np.asarray(a), np.asarray(b), rtol=1e-5, atol=1e-6
+            )
+        assert abs(m_host["eval_total"] - m_dev["eval_total"]) < 1e-4
+
 
 class TestGSPMDAutoSharding:
     def test_space_sharded_rhs_via_auto_partitioning(self):
