@@ -80,12 +80,26 @@ def build(fused: bool = False, use_pallas: bool | None = None,
     return many_steps, u0
 
 
-def _timed_blocks(fn, u0, num_samples: int):
-    """(samples steps/s, block_s, repeats) for a warmed jitted fn."""
+def _timed_blocks(fn, u0, num_samples: int, force_fetch: bool = False):
+    """(samples steps/s, block_s, repeats) for a warmed jitted fn.
+
+    ``force_fetch`` synchronizes by fetching a scalar to the host instead
+    of ``block_until_ready`` — required for program shapes whose
+    fetch-equality has NOT been verified on this stack (axon's
+    block_until_ready can return before device completion; DECISIONS.md
+    #15/#16). The RK4 legs at batch 256 are verified fetch-equal (12.5 ms
+    blocked vs 12.9 ms fetched), so they keep the cheaper sync for
+    round-over-round comparability; the batch-4096 throughput leg is a
+    different compiled program and forces the fetch.
+    """
+    if force_fetch:
+        sync = lambda a: float(a.ravel()[0])
+    else:
+        sync = lambda a: a.block_until_ready()
     u = fn(u0)
-    u.block_until_ready()  # compile + warm up
+    sync(u)  # compile + warm up
     t0 = time.perf_counter()
-    fn(u0).block_until_ready()
+    sync(fn(u0))
     once = time.perf_counter() - t0
     repeats = max(1, int(0.3 / max(once, 1e-4)))
     samples, blocks = [], []
@@ -93,7 +107,7 @@ def _timed_blocks(fn, u0, num_samples: int):
         t0 = time.perf_counter()
         for _ in range(repeats):
             u = fn(u)
-        u.block_until_ready()
+        sync(u)
         wall = time.perf_counter() - t0
         blocks.append(wall)
         samples.append(repeats * INNER_STEPS / wall)
@@ -116,7 +130,8 @@ def _detail(samples, block_s, repeats, batch: int = BATCH):
 
 
 def steps_per_sec(device, fused: bool = False, num_samples: int = 5,
-                  batch: int = BATCH, batch_tile: int | None = None):
+                  batch: int = BATCH, batch_tile: int | None = None,
+                  force_fetch: bool = False):
     """(median steps/s, detail dict) over ``num_samples`` timed blocks.
 
     A single-sample measurement of the XLA scan swings ~20% run to run on
@@ -133,7 +148,9 @@ def steps_per_sec(device, fused: bool = False, num_samples: int = 5,
                                batch=batch, batch_tile=batch_tile)
         fn = jax.jit(many_steps)
         u0 = jax.device_put(u0, device)
-        samples, block_s, repeats = _timed_blocks(fn, u0, num_samples)
+        samples, block_s, repeats = _timed_blocks(
+            fn, u0, num_samples, force_fetch=force_fetch
+        )
     return float(np.median(samples)), _detail(samples, block_s, repeats, batch)
 
 
@@ -213,7 +230,8 @@ def main():
             # the batch-256 headline leaves (RESULTS.md ablation); tile 256
             # is the measured-optimal ladder head (DECISIONS.md #15)
             thr, d = steps_per_sec(
-                tpu, fused=True, batch=THROUGHPUT_BATCH, batch_tile=256
+                tpu, fused=True, batch=THROUGHPUT_BATCH, batch_tile=256,
+                force_fetch=True,  # fetch-equality unverified at this shape
             )
             d["traj_steps_per_s"] = round(thr * THROUGHPUT_BATCH, 0)
             detail["throughput_fused_b4096"] = d

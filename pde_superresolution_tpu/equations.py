@@ -363,6 +363,25 @@ EQUATION_TYPES: dict[str, type[Equation]] = {
 }
 
 
+def params_dict(equation: Equation) -> dict:
+    """The equation's constructor parameters, minus ``conservative``.
+
+    THE canonical physics-serialization rule, shared by checkpoint-config
+    population (run_training), export metadata (export_model), snapshot
+    HDF5 attrs (save_snapshots_h5) and the exact-reference cache key
+    (evaluate) — one place to update when the Equation schema changes, so
+    those four stores can never silently diverge. ``conservative`` is
+    excluded because every consumer stores/keys the family separately.
+    ``from_name(name, conservative=..., **params_dict(eq))`` rebuilds the
+    equation exactly.
+    """
+    return {
+        k: v
+        for k, v in dataclasses.asdict(equation).items()
+        if k != "conservative"
+    }
+
+
 def from_name(name: str, conservative: bool = False, **kwargs) -> Equation:
     """Build an equation from its registry name (≈ §EQUATION_TYPES).
 

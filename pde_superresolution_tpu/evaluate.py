@@ -117,14 +117,12 @@ def _reference_cache_key(
     NOT in the key — all resample factors share one fine solve, which is
     where the evaluation pipeline's time goes (641 s of a ~700 s KS run).
     """
+    from pde_superresolution_tpu.equations import params_dict
+
     canonical = json.dumps(
         {
             "equation": equation.name,
-            "equation_params": {
-                k: v
-                for k, v in sorted(dataclasses.asdict(equation).items())
-                if k != "conservative"
-            },
+            "equation_params": dict(sorted(params_dict(equation).items())),
             # the family decides whether evaluate() coarse-grains by block
             # mean or subsample, but the FINE solve is family-agnostic
             # (SpectralDifferentiator always uses the direct form). Keyed
@@ -139,7 +137,15 @@ def _reference_cache_key(
             "warmup_time": float(warmup_time),
             "ic_scale": float(ic_scale),
             "exact_dt_cap": None if exact_dt_cap is None else float(exact_dt_cap),
-            "dtype": "float32",
+            # the ACTUAL compute dtype: a jax_enable_x64 process (the fp64
+            # reference controls) solves in float64 — hard-coding "float32"
+            # here would let an x64 run poison the cache for fp32 readers
+            "dtype": (
+                "float64" if jax.config.jax_enable_x64 else "float32"
+            ),
+            # bumped when exact-solver numerics change, so stale cached
+            # references invalidate instead of being silently served
+            "solver_version": integrate.EXACT_SOLVER_VERSION,
             "format": 1,
         },
         sort_keys=True,
@@ -211,6 +217,13 @@ def _cached_exact_solve(
                 for name, arr in forcing._asdict().items():
                     g.create_dataset(name, data=np.asarray(arr))
         os.replace(tmp, path)
+        logger.info(
+            "exact-reference cache write: %s (%.1f MB; the cache has no "
+            "eviction — delete old ref_*.h5 files or the directory to "
+            "reclaim space)",
+            path,
+            os.path.getsize(path) / 1e6,
+        )
     finally:
         if os.path.exists(tmp):
             os.unlink(tmp)

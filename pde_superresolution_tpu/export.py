@@ -81,9 +81,13 @@ def export_model(
     Args:
       model: a ``models.StencilModel`` (grid- and equation-bound).
       params: trained parameter pytree.
-      dt: RK4 step for the ``num_steps`` advance artifact; ``None`` uses the
-        equation's stable step on the model grid (``stable_time_step``,
-        u_scale=3 — the same default ``evaluate()`` subdivides against).
+      dt: RK4 step for the ``num_steps`` advance artifact; ``None`` uses
+        the MODEL-aware stable step (``StencilModel.stable_time_step``,
+        u_scale=3): the equation-level bound for stencils ≤8, tighter for
+        wider stencils whose larger spectral radii make the equation
+        bound unstable (DECISIONS.md #16). The model-aware bound is also
+        recorded as ``meta["stable_dt"]`` so the science CLIs integrate
+        the frozen rhs at a stable step.
       num_steps: if > 0, additionally export an advance function that runs
         ``num_steps`` RK4 steps of size ``dt`` in one call (an in-graph
         ``lax.scan`` — the serving hot path).
@@ -152,11 +156,9 @@ def export_model(
     # data.save_snapshots_h5 and the resume config-diff guard against.
     # 'conservative' is stored separately below (and from_name takes it as
     # its own argument in science_context).
-    import dataclasses as _dc
+    from pde_superresolution_tpu.equations import params_dict
 
-    eq_params = {
-        k: v for k, v in _dc.asdict(equation).items() if k != "conservative"
-    }
+    eq_params = params_dict(equation)
 
     meta = {
         "format_version": FORMAT_VERSION,
@@ -171,6 +173,12 @@ def export_model(
         "platforms": list(platforms),
         "dt": float(dt) if num_steps else None,
         "num_steps": int(num_steps),
+        # the model-aware stable RK4 step (StencilModel.stable_time_step):
+        # consumers of the frozen rhs (run_ensemble/run_evaluation
+        # --exported_dir) must integrate at THIS step, not the equation
+        # bound — for wide stencils the equation bound is unstable
+        # (DECISIONS.md #16) and the live model is gone at serve time
+        "stable_dt": float(model.stable_time_step(u_scale=3.0)),
         "stencil_size": int(model.config.stencil_size),
         "fine_size": int(fine_size) if fine_size else None,
         "resample_factor": int(resample_factor) if resample_factor else None,

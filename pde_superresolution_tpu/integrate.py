@@ -500,6 +500,14 @@ def integrate_resumable(
     return times, traj
 
 
+# Version stamp of the exact-solver numerics (ETDRK4 contour coefficients,
+# dealiasing rule, step selection). BUMP THIS on any change that alters a
+# bit of exact_solve_sampled's output: the evaluation reference cache
+# (evaluate._reference_cache_key) keys on it, so stale cached references
+# are invalidated automatically instead of silently served.
+EXACT_SOLVER_VERSION = 1
+
+
 def exact_solve_sampled(
     equation: Equation,
     grid: Grid,

@@ -116,6 +116,10 @@ def conv_tower_apply(
         z = jax.lax.conv_general_dilated(
             h, cast(w), (1,), "VALID", dimension_numbers=("NWC", "WIO", "NWC")
         ) + cast(b)
-        z = z.astype(jnp.float32)
+        if dtype is not None:
+            # cast back so downstream consumers see float32 regardless of
+            # the activation dtype; with dtype=None the output keeps the
+            # params' own dtype (a float64 tower must stay float64)
+            z = z.astype(jnp.float32)
         out[name] = z.reshape(batch_shape + (z.shape[1], z.shape[-1]))
     return out

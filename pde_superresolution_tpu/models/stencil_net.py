@@ -55,7 +55,13 @@ class ModelConfig:
     # only the tower's intermediate activations (and their HBM traffic —
     # roughly half the rollout's memory time) change width. The matmuls
     # already run bf16 on the MXU by default; bfloat16 here additionally
-    # halves activation traffic in the unrolled-training rollout.
+    # halves activation traffic in the unrolled-training rollout
+    # (measured 1.18x on the flagship train step at equal trained science
+    # — RESULTS.md round-4 delta). Honored by rhs_fn's XLA path AND the
+    # spatially-sharded RHS (parallel/sharded.py); the fused Mosaic
+    # kernel (fused_rk4_fn) always packs its tower in bf16 regardless, so
+    # for bfloat16 models it agrees to accumulation order rather than
+    # bit-for-bit.
     tower_dtype: str = "float32"
 
     def tower(self) -> conv_net.ConvTowerConfig:

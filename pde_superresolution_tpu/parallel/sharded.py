@@ -156,7 +156,16 @@ def sharded_model_rhs(
         lo = halo - radius - extra
         hi = halo + local + radius
         zs = conv_net.conv_tower_apply(
-            params, u_pad[..., lo:hi], periodic=False
+            params, u_pad[..., lo:hi], periodic=False,
+            # same activation dtype as the unsharded path: without this a
+            # tower_dtype=bfloat16 model would compute f32 here and the
+            # sharded RHS would diverge from StencilModel.rhs_fn by ~bf16
+            # epsilon instead of matching exactly
+            dtype=(
+                None
+                if model.config.tower_dtype == "float32"
+                else jnp.dtype(model.config.tower_dtype)
+            ),
         )  # -> [..., local + extra, free_dims]
         if staggered:
             faces = {}

@@ -153,15 +153,17 @@ def main(argv):
         u0 = warm[-1]
         t0 = steps_w * dt_w  # forcing phase must continue, not reset to 0
 
-    # model-aware CFL for live checkpoints (wide stencils need tighter dt
-    # than the equation bound — StencilModel.stable_time_step); the frozen
-    # exported path keeps the equation bound (no live model to analyze;
-    # exported step functions bake their own dt anyway)
-    dt = (
-        model.stable_time_step(u_scale=3.0)
-        if FLAGS.checkpoint_dir
-        else equation.stable_time_step(coarse, u_scale=3.0)
-    )
+    # model-aware CFL (wide stencils need tighter dt than the equation
+    # bound — StencilModel.stable_time_step). Frozen artifacts carry the
+    # bound in meta["stable_dt"] (export_model records it because the live
+    # model is gone at serve time); pre-round-4 artifacts without it fall
+    # back to the equation bound, which matches what they always ran at.
+    if FLAGS.checkpoint_dir:
+        dt = model.stable_time_step(u_scale=3.0)
+    else:
+        dt = served.meta.get("stable_dt") or equation.stable_time_step(
+            coarse, u_scale=3.0
+        )
     num_steps = int(np.ceil(FLAGS.time_max / dt))
     save_every = max(1, num_steps // FLAGS.num_saves)
     num_steps = save_every * FLAGS.num_saves

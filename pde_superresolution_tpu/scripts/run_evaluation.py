@@ -129,17 +129,23 @@ def main(argv):
             equation, coarse
         ).rhs_fn(forcing)
 
-    # model-aware CFL for live checkpoints: wide stencils need a tighter
-    # coarse dt than evaluate()'s equation-level default (the matched-width
-    # baseline and WENO schemes integrate at the same dt, which only ever
-    # tightens for them). Passed ONLY when it actually tightens, so every
-    # historical protocol (stencil ≤8) keeps its exact step count; the
-    # frozen exported path keeps the default.
+    # model-aware CFL: wide stencils need a tighter coarse dt than
+    # evaluate()'s equation-level default (the matched-width baseline and
+    # WENO schemes integrate at the same dt, which only ever tightens for
+    # them). Passed ONLY when it actually tightens, so every historical
+    # protocol (stencil ≤8) keeps its exact step count. Frozen artifacts
+    # carry the bound in meta["stable_dt"] (the live model is gone at
+    # serve time); pre-round-4 artifacts without it keep the default.
     coarse_dt = None
-    if FLAGS.checkpoint_dir:
-        model_dt = model.stable_time_step(u_scale=3.0)
-        if model_dt < equation.stable_time_step(coarse, u_scale=3.0):
-            coarse_dt = model_dt
+    model_dt = (
+        model.stable_time_step(u_scale=3.0)
+        if FLAGS.checkpoint_dir
+        else served.meta.get("stable_dt")
+    )
+    if model_dt and model_dt < equation.stable_time_step(
+        coarse, u_scale=3.0
+    ):
+        coarse_dt = model_dt
     result = eval_lib.evaluate(
         equation,
         fine,

@@ -71,6 +71,14 @@ def main(argv):
     del argv
     config = config_lib.parse_hparams(FLAGS.hparams)
     dataset = None
+    if FLAGS.host_data != "auto" and not FLAGS.large_ensemble:
+        # silently ignoring the flag would let a bigger-than-HBM run OOM
+        # despite the user explicitly asking for host staging
+        raise app.UsageError(
+            "--host_data applies to the --large_ensemble trajectory "
+            "pipeline only (the flat pipeline materializes rollouts and "
+            "is not host-stageable); add --large_ensemble"
+        )
     if FLAGS.large_ensemble:
         if FLAGS.input_path:
             raise ValueError("--large_ensemble generates on device; drop "
@@ -110,16 +118,15 @@ def main(argv):
     if FLAGS.input_path:
         import dataclasses
 
+        from pde_superresolution_tpu import equations
+
         snapshots, equation, fine = data_lib.load_snapshots_h5(
             FLAGS.input_path,
             num_trajectories=FLAGS.input_num_trajectories or None,
         )
         times = snapshots.times
         time_delta = float(times[1] - times[0]) if times.shape[0] > 1 else config.time_delta
-        eq_params = {
-            k: v for k, v in dataclasses.asdict(equation).items()
-            if k != "conservative"
-        }
+        eq_params = equations.params_dict(equation)
         config = dataclasses.replace(
             config,
             equation=equation.name,

@@ -376,7 +376,6 @@ def save_snapshots_h5(
     layout unverified); we store the trajectory axis explicitly and flatten
     on demand for 2-D consumers.
     """
-    import dataclasses as _dc
     import json as _json
 
     with h5py.File(path, "w") as f:
@@ -388,9 +387,9 @@ def save_snapshots_h5(
         f.attrs["fine_size"] = fine_grid.size
         # full equation parameters (eta, period, ...) so non-default physics
         # round-trips; 'conservative' is stored separately above
-        params = {k: v for k, v in _dc.asdict(equation).items()
-                  if k != "conservative"}
-        f.attrs["equation_params"] = _json.dumps(params)
+        from pde_superresolution_tpu.equations import params_dict
+
+        f.attrs["equation_params"] = _json.dumps(params_dict(equation))
         if snapshots.forcing is not None:
             g = f.create_group("forcing")
             for name, leaf in snapshots.forcing._asdict().items():

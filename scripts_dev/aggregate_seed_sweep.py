@@ -54,7 +54,6 @@ for f in (32, 64):
         "survival_mean": round(float(surv.mean()), 2),
         "mae_median": round(float(np.median(mae)), 3),
         "eval_loss_median": round(float(np.median(loss)), 3),
-        "eval_loss_per_seed_delta_consistent": None,
         "total_diverged_members": int(div),
     }
 # is the f64 eval-loss improvement consistent per seed (the r3 claim)?

@@ -205,6 +205,24 @@ class TestReferenceCache:
         assert h0 not in hashes
         assert len(set(hashes)) == len(hashes)
 
+    def test_key_tracks_solver_version_and_dtype(self, monkeypatch):
+        """A solver-numerics change (EXACT_SOLVER_VERSION bump) must
+        invalidate cached references, and the key must record the ACTUAL
+        compute dtype (an x64 process would otherwise poison the cache
+        for fp32 readers)."""
+        fine = Grid(256, self.EQ.period)
+        base = dict(
+            equation=self.EQ, fine_grid=fine, key=jax.random.PRNGKey(0),
+            num_samples=2, time_delta=0.1, num_times=6, warmup_time=0.0,
+            ic_scale=1.0, exact_dt_cap=None,
+        )
+        h0, canonical = evaluate._reference_cache_key(**base)
+        assert '"solver_version"' in canonical
+        assert '"float32"' in canonical  # tests run without x64
+        monkeypatch.setattr(integrate, "EXACT_SOLVER_VERSION", 2)
+        h1, _ = evaluate._reference_cache_key(**base)
+        assert h1 != h0
+
     def test_forcing_round_trips_through_cache(self, tmp_path):
         """Forced equations must reload the stored forcing draw (the rhs
         closures depend on it)."""

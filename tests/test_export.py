@@ -272,6 +272,25 @@ class TestScienceContext:
         equation, fine, coarse = export.science_context(meta)
         assert coarse.size == model.grid.size
 
+    def test_export_records_model_stable_dt(self, tmp_path):
+        """The frozen artifact must carry the MODEL-aware stable step: for
+        wide stencils the equation-level bound is unstable outright
+        (DECISIONS.md #16), and the live model — the only thing that can
+        compute the exact bound — is gone at serve time."""
+        eq = equations.from_name("ks", conservative=True)
+        grid = Grid(256, eq.period).resample(2, conservative=True)  # dx=.5
+        model = StencilModel(
+            eq, grid, ModelConfig(num_layers=1, filters=4, stencil_size=12)
+        )
+        params = model.init_params(jax.random.PRNGKey(0))
+        meta = export.export_and_save(
+            model, params, str(tmp_path / "wide"), num_steps=0,
+            fine_size=256, resample_factor=2,
+        )
+        assert meta["stable_dt"] == model.stable_time_step(u_scale=3.0)
+        # and the bound is genuinely tighter than the (unstable) eq bound
+        assert meta["stable_dt"] < eq.stable_time_step(grid, u_scale=3.0)
+
 
 class TestValidation:
     def test_wrong_grid_size_raises(self, ks_artifact):
