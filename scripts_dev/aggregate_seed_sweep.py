@@ -53,7 +53,11 @@ for f in (32, 64):
         "survival_iqr": [round(float(q1), 2), round(float(q3), 2)],
         "survival_mean": round(float(surv.mean()), 2),
         "mae_median": round(float(np.median(mae)), 3),
-        "eval_loss_median": round(float(np.median(loss)), 3),
+        # nanmedian: an occasional non-finite END-OF-TRAINING eval loss
+        # (e.g. one non-finite eval batch) does not invalidate the seed's
+        # survival/MAE science row; the count is reported alongside
+        "eval_loss_median": round(float(np.nanmedian(loss)), 3),
+        "eval_loss_nan_seeds": int(np.sum(~np.isfinite(loss))),
         "total_diverged_members": int(div),
     }
 # is the f64 eval-loss improvement consistent per seed (the r3 claim)?
