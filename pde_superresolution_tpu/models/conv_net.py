@@ -117,9 +117,12 @@ def conv_tower_apply(
             h, cast(w), (1,), "VALID", dimension_numbers=("NWC", "WIO", "NWC")
         ) + cast(b)
         if dtype is not None:
-            # cast back so downstream consumers see float32 regardless of
-            # the activation dtype; with dtype=None the output keeps the
-            # params' own dtype (a float64 tower must stay float64)
-            z = z.astype(jnp.float32)
+            # cast back to the PARAMS' dtype (not a hard-coded float32) so
+            # downstream consumers see the master-weight precision
+            # regardless of the activation dtype; with dtype=None the
+            # output keeps the params' own dtype either way (a float64
+            # tower must stay float64 — conv_tower_init emits float32, so
+            # this is float32 for every library-built model)
+            z = z.astype(w.dtype)
         out[name] = z.reshape(batch_shape + (z.shape[1], z.shape[-1]))
     return out

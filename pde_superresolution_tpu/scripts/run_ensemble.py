@@ -161,9 +161,15 @@ def main(argv):
     if FLAGS.checkpoint_dir:
         dt = model.stable_time_step(u_scale=3.0)
     else:
-        dt = served.meta.get("stable_dt") or equation.stable_time_step(
-            coarse, u_scale=3.0
-        )
+        dt = served.meta.get("stable_dt")
+        if dt is None:  # pre-round-4 artifact: equation bound, as it always ran
+            dt = equation.stable_time_step(coarse, u_scale=3.0)
+        elif not dt > 0:  # malformed artifact — a silent fallback would
+            # integrate a wide-stencil export at an unstable dt
+            raise ValueError(
+                f"exported artifact carries invalid stable_dt={dt!r} "
+                f"(expected a positive float); re-export with run_export"
+            )
     num_steps = int(np.ceil(FLAGS.time_max / dt))
     save_every = max(1, num_steps // FLAGS.num_saves)
     num_steps = save_every * FLAGS.num_saves

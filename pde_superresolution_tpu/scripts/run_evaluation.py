@@ -171,6 +171,11 @@ def main(argv):
         final = np.asarray(result.mae[name])[:, -1]
         finite = np.isfinite(final)
         mae = float(final[finite].mean()) if finite.any() else float("nan")
+        # the member MEDIAN is the robust long-horizon statistic: final-MAE
+        # MEANS are tail-sensitive to which attractor trajectory a drifted
+        # member is compared against (RESULTS.md round-4 "Reference
+        # precision" — quote medians for long-horizon KS comparisons)
+        mae_med = float(np.median(final[finite])) if finite.any() else float("nan")
         surv = np.asarray(result.survival_time[name])
         diverged = f" [{int((~finite).sum())}/{finite.size} diverged]" if (~finite).any() else ""
         extra = ""
@@ -187,7 +192,8 @@ def main(argv):
                 f"median {np.median(s2):.2f}"
             )
         print(
-            f"{name:>10}: final MAE {mae:.4f}{diverged} | survival "
+            f"{name:>10}: final MAE median {mae_med:.4f} / mean {mae:.4f}"
+            f"{diverged} | survival "
             f"median {np.median(surv):.2f} / mean {surv.mean():.2f} "
             f"(horizon {FLAGS.time_max}){extra}"
         )

@@ -70,6 +70,15 @@ def main(argv):
             schemes["weno"] = lambda forcing, m=model: weno.WENODifferentiator(
                 equation, m.grid
             ).rhs_fn(forcing)
+        # model-aware CFL, passed only when it tightens (wide stencils;
+        # StencilModel.stable_time_step) — historical protocols keep their
+        # exact step counts (mirrors run_evaluation.py)
+        model_dt = model.stable_time_step(u_scale=3.0)
+        coarse_dt = (
+            model_dt
+            if model_dt < equation.stable_time_step(model.grid, u_scale=3.0)
+            else None
+        )
         result = eval_lib.evaluate(
             equation,
             fine,
@@ -81,15 +90,7 @@ def main(argv):
             time_delta=config.time_delta,
             warmup_time=FLAGS.eval_warmup,
             ic_scale=config.ic_scale,
-            # model-aware CFL, passed only when it tightens (wide stencils;
-            # StencilModel.stable_time_step) — historical protocols keep
-            # their exact step counts
-            coarse_dt=(
-                model.stable_time_step(u_scale=3.0)
-                if model.stable_time_step(u_scale=3.0)
-                < equation.stable_time_step(model.grid, u_scale=3.0)
-                else None
-            ),
+            coarse_dt=coarse_dt,
             reference_cache_dir=(
                 eval_lib.default_reference_cache_dir()
                 if FLAGS.reference_cache_dir == "auto"
@@ -106,6 +107,11 @@ def main(argv):
             finite = np.isfinite(final)
             record[f"{name}_mae"] = (
                 float(final[finite].mean()) if finite.any() else None
+            )
+            # the robust long-horizon statistic (RESULTS.md round-4
+            # "Reference precision": quote medians, means are tail-sensitive)
+            record[f"{name}_mae_median"] = (
+                float(np.median(final[finite])) if finite.any() else None
             )
             record[f"{name}_diverged"] = int((~finite).sum())
             record[f"{name}_survival_median"] = float(

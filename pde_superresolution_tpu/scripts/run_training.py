@@ -71,11 +71,13 @@ def main(argv):
     del argv
     config = config_lib.parse_hparams(FLAGS.hparams)
     dataset = None
-    if FLAGS.host_data != "auto" and not FLAGS.large_ensemble:
+    if FLAGS.host_data == "true" and not FLAGS.large_ensemble:
         # silently ignoring the flag would let a bigger-than-HBM run OOM
-        # despite the user explicitly asking for host staging
+        # despite the user explicitly asking for host staging. An explicit
+        # "false" (like the default "auto") is a no-op on the flat pipeline
+        # and is accepted.
         raise app.UsageError(
-            "--host_data applies to the --large_ensemble trajectory "
+            "--host_data=true applies to the --large_ensemble trajectory "
             "pipeline only (the flat pipeline materializes rollouts and "
             "is not host-stageable); add --large_ensemble"
         )

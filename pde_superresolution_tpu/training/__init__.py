@@ -22,3 +22,8 @@ from pde_superresolution_tpu.training.losses import (  # noqa: F401
     compute_loss_norms,
 )
 from pde_superresolution_tpu.training.loop import TrainState, train  # noqa: F401
+from pde_superresolution_tpu.training.selection import (  # noqa: F401
+    SelectionResult,
+    protocol_score,
+    select_checkpoint,
+)

@@ -82,6 +82,14 @@ def rollout_states(
     batch — without this, one unstable rollout freezes training forever
     (every update gets skipped by zero_nans; observed on FD KdV).
 
+    The clamp alone is not enough: one inner RK4 step can overshoot straight
+    to inf/NaN (u_xxxx evaluated at |u|=clip), and ``jnp.clip`` PROPAGATES
+    NaN — so non-finite values are first mapped onto the clip bound
+    (sign-preserving for ±inf). Without this the end-of-training eval loss
+    reads NaN at hard corners even when the integration protocol itself is
+    stable (3/16 rows of the round-4 KdV-16x seed sweep). For rollouts that
+    stay finite the guard is the identity, so stable recipes are unchanged.
+
     Structured as nested lax.scan with a rematerialized inner step: O(1)
     graph size in the step count (a 48-step Python unroll costs ~6 min of
     XLA compile; this compiles in seconds) and O(K) memory.
@@ -92,6 +100,7 @@ def rollout_states(
     def inner(carry, _):
         u, t = carry
         u = integrate.rk4_step(rhs, u, t, dt_inner)
+        u = jnp.nan_to_num(u, nan=clip, posinf=clip, neginf=-clip)
         u = jnp.clip(u, -clip, clip)
         return (u, t + dt_inner), None
 
@@ -304,6 +313,17 @@ def compute_loss(
         # rollout stays inside the stable region regardless of how the data
         # was sampled. See rollout_states for the clip/remat story.
         states = rollout_states(rhs, u0, t, dt, substeps, unroll_steps)
+        # diagnostic (never part of the loss): fraction of batch members
+        # whose rollout stayed strictly inside the divergence clip — a
+        # diverged member is pinned at ±ROLLOUT_CLIP by rollout_states, so
+        # "< clip everywhere" means the rollout was genuinely finite. Logged
+        # as train_/eval_rollout_finite_frac, making a clipped eval loss
+        # interpretable (loss finite but frac < 1 = some members diverged).
+        parts["rollout_finite_frac"] = jnp.mean(
+            jnp.all(jnp.abs(states) < ROLLOUT_CLIP, axis=(0, -1)).astype(
+                jnp.float32
+            )
+        )
         base_states = None
         if use_rel:
 

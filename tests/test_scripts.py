@@ -426,3 +426,59 @@ class TestLargeEnsembleCLI:
              f"--hparams={TINY_HPARAMS}"],
         )
         assert "eval_total" in out
+
+
+class TestHostDataFlagGating:
+    def test_host_data_true_without_large_ensemble_rejected(self, tmp_path):
+        run_cli(
+            "run_training",
+            [f"--checkpoint_dir={tmp_path}", "--host_data=true",
+             f"--hparams={TINY_HPARAMS}"],
+            expect_error="--large_ensemble",
+        )
+
+    def test_host_data_false_without_large_ensemble_is_a_noop(self, tmp_path):
+        """An explicit no-op =false must be accepted (round-4 ADVICE: only
+        =true is an ignored staging request worth rejecting)."""
+        ckpt = str(tmp_path / "ck")
+        out = run_cli(
+            "run_training",
+            [f"--checkpoint_dir={ckpt}", "--host_data=false",
+             f"--hparams={TINY_HPARAMS}"],
+        )
+        assert "eval_total" in out
+
+
+class TestSelectCLI:
+    def test_seed_selection_end_to_end(self, tmp_path):
+        """run_select trains 2 seeds, picks the protocol winner and re-scores
+        it on a fresh eval key; the summary line carries both numbers."""
+        out_dir = str(tmp_path / "sel")
+        out = run_cli(
+            "run_select",
+            [f"--output_dir={out_dir}", "--num_seeds=2",
+             f"--hparams={TINY_HPARAMS}",
+             "--select_samples=2", "--final_samples=2",
+             "--select_eval_seed=1", "--final_eval_seed=2",
+             "--eval_time_max=0.2",
+             f"--reference_cache_dir={tmp_path / 'refs'}"],
+        )
+        lines = [json.loads(l) for l in out.strip().splitlines()
+                 if l.startswith("{")]
+        summary = lines[-1]
+        assert summary["winner_seed"] in (0, 1)
+        assert "final_survival" in summary and "selection_survival" in summary
+        assert os.path.exists(os.path.join(out_dir, "selection.json"))
+        assert os.path.isdir(
+            os.path.join(out_dir, f"seed{summary['winner_seed']}")
+        )
+
+    def test_same_eval_seed_rejected(self, tmp_path):
+        run_cli(
+            "run_select",
+            [f"--output_dir={tmp_path}", "--num_seeds=2",
+             f"--hparams={TINY_HPARAMS}",
+             "--select_eval_seed=7", "--final_eval_seed=7",
+             "--eval_time_max=0.2"],
+            expect_error="winner's curse",
+        )

@@ -250,6 +250,90 @@ class TestDataPipeline:
         assert np.isfinite(metrics["eval_total"]), metrics
 
 
+class TestRolloutDivergenceGuard:
+    """The unrolled-loss divergence guard (round-4 weak #1: 3/16 seed-sweep
+    rows reported eval_total=NaN because jnp.clip propagates the NaN a
+    single overshooting inner RK4 step produces)."""
+
+    def _loss_at(self, substeps):
+        eq = equations.from_name("ks", conservative=True)
+        fine = Grid(256, eq.period)
+        snaps = generate_snapshots(
+            eq, fine, jax.random.PRNGKey(0), num_trajectories=3, num_times=8,
+            time_delta=0.1,
+        )
+        # resample 2 -> dx = 0.5: the KS fourth-derivative CFL bound is
+        # ~dx^4/16 ≈ 0.004, so dt=0.1 at substeps=1 is deliberately and
+        # violently unstable (overshoots to inf within a step or two),
+        # while substeps=64 (dt_inner ≈ 0.0016) is stable
+        data = build_training_data(eq, fine, snaps, resample_factor=2,
+                                   unroll_steps=2)
+        model = StencilModel(
+            eq, fine.resample(2),
+            ModelConfig(num_layers=1, filters=4, stencil_size=6),
+        )
+        params = model.init_params(jax.random.PRNGKey(0))
+        norms = loss_lib.compute_loss_norms(
+            model, data, 2, 0.1, substeps=substeps
+        )
+        return loss_lib.compute_loss(
+            model, params, data, norms, LossWeights(), dt=0.1,
+            unroll_steps=2, substeps=substeps,
+        )
+
+    def test_unstable_rollout_reports_finite_loss_and_fraction(self):
+        loss, parts = self._loss_at(substeps=1)
+        assert np.isfinite(float(loss)), float(loss)
+        assert np.isfinite(float(parts["total"]))
+        frac = float(parts["rollout_finite_frac"])
+        assert 0.0 <= frac < 1.0, frac  # members diverged — and it shows
+
+    def test_stable_rollout_has_full_finite_fraction(self):
+        loss, parts = self._loss_at(substeps=64)
+        assert np.isfinite(float(loss))
+        assert float(parts["rollout_finite_frac"]) == 1.0
+
+    def test_guard_is_identity_on_finite_states(self):
+        """For a stable rollout the nan_to_num guard must not change a bit
+        (stable recipes keep their historical loss values)."""
+        from pde_superresolution_tpu import integrate
+
+        eq = equations.from_name("burgers", conservative=True)
+        fine = Grid(64, eq.period)
+        coarse = fine.resample(4)
+        model = StencilModel(
+            eq, coarse, ModelConfig(num_layers=1, filters=4, stencil_size=4)
+        )
+        params = model.init_params(jax.random.PRNGKey(0))
+        forcing = eq.sample_forcing(jax.random.PRNGKey(1), (2,))
+        u0 = eq.initial_conditions(jax.random.PRNGKey(2), coarse, (2,))
+        rhs = model.rhs_fn(params, forcing)
+        dt, substeps, k = 0.02, 2, 3
+        t0 = jax.numpy.zeros((2,))
+        states = loss_lib.rollout_states(rhs, u0, t0, dt, substeps, k)
+
+        # reference: the SAME scan structure with the pre-round-5 body
+        # (clip only, no nan_to_num) — on a finite rollout the guard must
+        # not change a bit
+        dt_inner = dt / substeps
+        clip = loss_lib.ROLLOUT_CLIP
+
+        @jax.checkpoint
+        def inner(carry, _):
+            u, t = carry
+            u = integrate.rk4_step(rhs, u, t, dt_inner)
+            u = jax.numpy.clip(u, -clip, clip)
+            return (u, t + dt_inner), None
+
+        def outer(carry, _):
+            carry, _ = jax.lax.scan(inner, carry, None, length=substeps)
+            return carry, carry[0]
+
+        (_, _), ref = jax.lax.scan(outer, (u0, t0), None, length=k)
+        assert np.isfinite(np.asarray(ref)).all()
+        np.testing.assert_array_equal(np.asarray(states), np.asarray(ref))
+
+
 class TestTrainLoop:
     def test_loss_decreases_and_checkpoints(self, tmp_path):
         ckpt_dir = str(tmp_path / "ckpt")
