@@ -8,16 +8,38 @@
 # demonstration target is the DATA PATH at scale, not model quality.
 #
 # Usage: bash scripts_dev/host65k_demo.sh [ckpt_dir]
+# Writes artifacts/r5_host65k.json: wall time, host-RAM high-water
+# (/usr/bin/time max RSS), and the final metrics row.
 set -u
 CK=${1:-/tmp/ck_host65k}
+ART=/root/repo/artifacts/r5_host65k.json
 rm -rf "$CK"
 T0=$(date +%s)
-PYTHONPATH=/root/repo:${PYTHONPATH:-} timeout 3000 \
+PYTHONPATH=/root/repo:${PYTHONPATH:-} timeout 7200 \
+/usr/bin/time -v -o /tmp/host65k_time.txt \
 python -m pde_superresolution_tpu.scripts.run_training \
   --checkpoint_dir="$CK" --large_ensemble --host_data=auto \
   --chunk_trajectories=1024 \
   --hparams="equation=ks,conservative=true,resample_factor=8,fine_size=1024,num_trajectories=65536,num_times=64,time_delta=0.1,warmup_time=44,stencil_size=8,num_time_steps=4,batch_size=512,learning_rates=1e-3,learning_stops=300,eval_interval=100,checkpoint_interval=300"
 rc=$?
 T1=$(date +%s)
-echo "WALL_SECONDS=$((T1 - T0)) rc=$rc"
-tail -1 "$CK/metrics.jsonl"
+WALL=$((T1 - T0))
+MAXRSS_KB=$(awk -F': ' '/Maximum resident set size/ {print $2}' /tmp/host65k_time.txt)
+LAST=$(tail -1 "$CK/metrics.jsonl" 2>/dev/null || echo '{}')
+echo "WALL_SECONDS=$WALL rc=$rc maxrss_kb=$MAXRSS_KB"
+python - "$WALL" "$rc" "${MAXRSS_KB:-0}" "$LAST" <<'EOF'
+import json, sys
+wall, rc, maxrss_kb, last = int(sys.argv[1]), int(sys.argv[2]), int(sys.argv[3]), sys.argv[4]
+out = {
+    "config": {"equation": "ks", "resample_factor": 8, "fine_size": 1024,
+               "num_trajectories": 65536, "num_times": 64,
+               "num_time_steps": 4, "batch_size": 512, "steps": 300,
+               "chunk_trajectories": 1024, "host_data": "auto"},
+    "wall_seconds": wall, "exit_code": rc,
+    "host_ram_high_water_gb": round(maxrss_kb / 1024 / 1024, 2),
+    "final_metrics": json.loads(last),
+}
+with open("/root/repo/artifacts/r5_host65k.json", "w") as f:
+    json.dump(out, f, indent=1)
+print(json.dumps(out)[:400])
+EOF
