@@ -34,13 +34,24 @@ case "$CORNER" in
 esac
 
 # timeout must comfortably exceed the whole 8-seed run (XLA-only; no
-# Mosaic compiles in the training path — DECISIONS.md #15 discipline)
-PYTHONPATH=/root/repo:${PYTHONPATH:-} timeout 10800 \
-  python -m pde_superresolution_tpu.scripts.run_select \
-    --output_dir="$OUT" --num_seeds=8 \
-    --hparams="$HP" \
-    --select_samples=16 --final_samples=32 \
-    --select_eval_seed=12345 --final_eval_seed=54321 \
-    --eval_time_max="$TMAX" --eval_warmup="$WARM" \
-    2>&1 | tail -20
-echo "rc=$?"
+# Mosaic compiles in the training path — DECISIONS.md #15 discipline).
+# Transient axon tunnel faults (remote_compile: "response body closed")
+# have killed two runs mid-seed; the tool is RESUMABLE (finished seeds
+# skip via cached score JSONs), so retry up to 3 times. pipefail keeps
+# the python rc visible through the tail.
+set -o pipefail
+for attempt in 1 2 3; do
+  PYTHONPATH=/root/repo:${PYTHONPATH:-} timeout 10800 \
+    python -m pde_superresolution_tpu.scripts.run_select \
+      --output_dir="$OUT" --num_seeds=8 \
+      --hparams="$HP" \
+      --select_samples=16 --final_samples=32 \
+      --select_eval_seed=12345 --final_eval_seed=54321 \
+      --eval_time_max="$TMAX" --eval_warmup="$WARM" \
+      2>&1 | tail -20
+  rc=$?
+  echo "attempt $attempt rc=$rc"
+  [ "$rc" -eq 0 ] && break
+  sleep 30  # let the tunnel settle before resuming
+done
+echo "rc=$rc"
