@@ -17,22 +17,26 @@ run_stage() {
 
 # 0. apples-to-apples re-scores of the selection winners under the exact
 #    standard run_evaluation protocol the zoo table uses (cheap: cached
-#    fine solves), so the zoo swap decision is protocol-identical.
+#    fine solves), so the zoo swap decision is protocol-identical — PLUS
+#    an eval-key-noise matrix at KS 32x: the selection's fresh-key
+#    re-score read 32.0 where the selection key read 40.2 (bias 8.2 t.u.),
+#    so the committed ckpt_ks32's 40.25 (zoo key 0) may itself carry
+#    eval-key luck. Cross-scoring {ckpt_ks32, winner} x {key 0, key 54321}
+#    separates model quality from eval-set noise.
 rescore() {
-  local ck=$1 tmax=$2 warm=$3 out=$4
+  local ck=$1 tmax=$2 warm=$3 seed=$4 tag=$5
   PYTHONPATH=/root/repo:${PYTHONPATH:-} timeout 2400 \
   python -m pde_superresolution_tpu.scripts.run_evaluation \
     --checkpoint_dir="$ck" --num_samples=32 --time_max="$tmax" \
-    --warmup_time="$warm" --reference_cache_dir=auto \
-    --output_path="/tmp/r5_rescore_$(basename "$out" .log).h5"
+    --warmup_time="$warm" --seed="$seed" --reference_cache_dir=auto \
+    --output_path="/tmp/r5_rescore_${tag}.h5"
 }
 run_stage rescore_kdv16_seed7 rescore \
-  /root/repo/artifacts/r5_kdv16_select/seed7 10 0 rescore_kdv16_seed7.log
-if [ -d /root/repo/artifacts/r5_ks32_select ] && \
-   [ -f /root/repo/artifacts/r5_ks32_select/selection.json ]; then
-  W=$(python -c "import json;print(json.load(open('/root/repo/artifacts/r5_ks32_select/selection.json'))['winner_checkpoint'])")
-  run_stage rescore_ks32_winner rescore "$W" 50 44 rescore_ks32_winner.log
-fi
+  /root/repo/artifacts/r5_kdv16_select/seed7 10 0 0 kdv16_seed7
+W=/root/repo/artifacts/r5_ks32_select/seed0
+run_stage rescore_ks32_winner_key0 rescore "$W" 50 44 0 ks32_winner_key0
+run_stage rescore_ckptks32_key54321 rescore \
+  /root/repo/artifacts/ckpt_ks32 50 44 54321 ckptks32_key54321
 
 # 1. regenerate the 3 NaN seed-sweep rows (VERDICT #2 follow-through)
 run_stage regen_nan bash scripts_dev/r5_regen_nan_rows.sh
