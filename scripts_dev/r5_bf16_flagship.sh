@@ -21,7 +21,8 @@ KS8="equation=ks,conservative=true,resample_factor=8,warmup_time=44,"
 KS8+="stencil_size=8,num_time_steps=16,learning_rates=1e-3;3e-4,"
 KS8+="learning_stops=2000;3000,tower_dtype=bfloat16"
 if [ ! -s "$OUT/ks8_eval.log" ]; then
-  rm -rf "$CK"
+  # NOTE: no rm -rf — run_training resumes exactly (config-validated) from
+  # any checkpoint already in $CK, so an interrupted train continues.
   T0=$(date +%s)
   PYTHONPATH=/root/repo:${PYTHONPATH:-} timeout 7200 \
   python -m pde_superresolution_tpu.scripts.run_training \
