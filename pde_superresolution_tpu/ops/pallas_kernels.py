@@ -87,6 +87,51 @@ def kernel_supported(batch: int, nx: int) -> bool:
     return batch % SUBLANE == 0 and nx % LANE == 0
 
 
+def _rhs_vmem_bytes(
+    tb: int, nx: int, n_tap_arrays: int, forced: bool, buffers: int,
+    itemsize: int,
+) -> int:
+    """Scoped-VMEM estimate for one fused-RHS grid step at batch tile ``tb``.
+
+    I/O blocks live per step: u, one [tb, nx] row per stencil tap, the
+    forcing field, and the output; Mosaic double-buffers pipelined blocks
+    (``buffers=2`` when grid > 1). A 1.5x factor covers Mosaic temporaries
+    (the tap-shift/accumulate intermediates); it bounded the observed
+    Mosaic allocation from above at every shape measured (e.g. batch
+    10240, nx 128, 24 taps, forced: estimate 212 MiB single-buffered vs
+    Mosaic's reported 111 MiB request; batch 1024 same kernel: estimate
+    21 MiB vs the known-fitting <16 MiB actual).
+    """
+    n_arrays = 1 + n_tap_arrays + (1 if forced else 0) + 1
+    io_bytes = buffers * n_arrays * tb * nx * itemsize
+    return int(1.5 * io_bytes)
+
+
+def _auto_rhs_tile(
+    batch: int, nx: int, n_tap_arrays: int, forced: bool, itemsize: int,
+) -> int | None:
+    """Largest batch tile whose fused-RHS VMEM estimate fits the budget.
+
+    Whole-batch (grid=1, single-buffered — the measured-fast layout, grid
+    iterations serialize on-core per DECISIONS.md #15) wins whenever it
+    fits; otherwise the largest SUBLANE-multiple divisor of ``batch``
+    whose double-buffered estimate stays under half the physical VMEM.
+    None when even a SUBLANE-row tile cannot fit (refuse before compiling:
+    an over-budget Mosaic compile can wedge the chip, DECISIONS.md #15).
+    """
+    budget = PHYSICAL_VMEM_BYTES // 2
+    if _rhs_vmem_bytes(batch, nx, n_tap_arrays, forced, 1, itemsize) <= budget:
+        return batch
+    per_row = _rhs_vmem_bytes(1, nx, n_tap_arrays, forced, 2, itemsize)
+    tb = budget // per_row // SUBLANE * SUBLANE
+    tb = min(tb, batch)
+    while tb >= SUBLANE:
+        if batch % tb == 0:
+            return int(tb)
+        tb -= SUBLANE
+    return None
+
+
 def make_fused_rhs(
     equation: Equation,
     grid: Grid,
@@ -143,8 +188,34 @@ def make_fused_rhs(
                 f"shapes ({batch}, {nx}) not tileable; need batch%{SUBLANE}==0"
                 f" and nx%{LANE}==0 (use the XLA path instead)"
             )
-        tb = min(batch_tile or batch, batch)
+        n_tap_arrays = sum(len(taps_map[d]) for d in orders)
+        itemsize = u.dtype.itemsize
+        if batch_tile is not None:
+            tb = min(batch_tile, batch)
+        else:
+            # whole-batch when it fits VMEM, else tile the batch (the
+            # kernel is elementwise over rows, so tiling is exact); found
+            # the hard way at batch 10240: the untiled block wants 141 MiB
+            # of scoped VMEM and the Mosaic compile fails (or worse,
+            # wedges the chip — DECISIONS.md #15)
+            tb = _auto_rhs_tile(batch, nx, n_tap_arrays, forced, itemsize)
+            if tb is None:
+                raise ValueError(
+                    f"fused RHS cannot fit VMEM at any batch tile for "
+                    f"shapes ({batch}, {nx}) with {n_tap_arrays} tap "
+                    f"arrays; use the XLA path (use_pallas=False)"
+                )
         grid_size = batch // tb
+        vmem_bytes = _rhs_vmem_bytes(
+            tb, nx, n_tap_arrays, forced, 2 if grid_size > 1 else 1, itemsize
+        )
+        if not interpret and vmem_bytes > PHYSICAL_VMEM_BYTES:
+            # refuse BEFORE compiling (explicit batch_tile can overshoot)
+            raise ValueError(
+                f"fused RHS at batch_tile={tb}, nx={nx} needs "
+                f"~{vmem_bytes >> 20} MiB VMEM > "
+                f"{PHYSICAL_VMEM_BYTES >> 20} MiB physical; smaller tile"
+            )
         in_specs = [
             pl.BlockSpec((tb, nx), lambda i: (i, 0), memory_space=pltpu.VMEM)
         ]
@@ -165,6 +236,16 @@ def make_fused_rhs(
             in_specs.append(
                 pl.BlockSpec((tb, nx), lambda i: (i, 0), memory_space=pltpu.VMEM)
             )
+        kwargs = {}
+        if vmem_bytes > 16 * 1024 * 1024:
+            # the Mosaic scoped-VMEM stack defaults to 16 MiB
+            # (DECISIONS.md #15e); raise it to the estimate — shapes whose
+            # estimate fits the default compile with an UNCHANGED config
+            kwargs["compiler_params"] = pltpu.CompilerParams(
+                vmem_limit_bytes=min(
+                    16 * 1024 * 1024 + vmem_bytes, PHYSICAL_VMEM_BYTES
+                )
+            )
         return pl.pallas_call(
             kernel,
             out_shape=jax.ShapeDtypeStruct(u.shape, u.dtype),
@@ -174,6 +255,7 @@ def make_fused_rhs(
                 (tb, nx), lambda i: (i, 0), memory_space=pltpu.VMEM
             ),
             interpret=interpret,
+            **kwargs,
         )(*inputs)
 
     def xla_twin(u, coeffs, f):

@@ -11,6 +11,8 @@ Example:
       --num_samples=16 --time_max=10
 """
 
+import os
+
 import numpy as np
 from absl import app, flags
 
@@ -43,6 +45,17 @@ flags.DEFINE_float(
     "reference's exact validity rule is unknown — SURVEY.md §3.4 — so both "
     "criteria are available)")
 flags.DEFINE_integer("seed", 0, "evaluation seed")
+flags.DEFINE_string(
+    "seeds", "",
+    "comma-separated evaluation seeds for a MULTI-KEY evaluation "
+    "(overrides --seed). The round-5 KS-32x cross-score matrix measured "
+    "several t.u. of eval-set noise in a single 32-member survival median "
+    "(RESULTS.md round-5 delta); multi-key runs report per-key lines plus "
+    "a POOLED median over all keys' members — the statistic comparisons "
+    "should quote when they cannot share the eval key exactly. Each key's "
+    "full EvalResult is saved to <output_path> with '.key<N>' inserted "
+    "before the extension; each key needs its own fine reference solve "
+    "(cached separately)")
 flags.DEFINE_float("ic_scale", 1.0, "initial-condition amplitude")
 flags.DEFINE_integer(
     "baseline_stencil_size", 0,
@@ -146,57 +159,109 @@ def main(argv):
         coarse, u_scale=3.0
     ):
         coarse_dt = model_dt
-    result = eval_lib.evaluate(
-        equation,
-        fine,
-        resample_factor,
-        schemes,
-        key=jax.random.PRNGKey(FLAGS.seed),
-        num_samples=FLAGS.num_samples,
-        time_max=FLAGS.time_max,
-        time_delta=FLAGS.time_delta,
-        warmup_time=FLAGS.warmup_time,
-        correlation_threshold=FLAGS.correlation_threshold,
-        ic_scale=FLAGS.ic_scale,
-        coarse_dt=coarse_dt,
-        reference_cache_dir=(
-            eval_lib.default_reference_cache_dir()
-            if FLAGS.reference_cache_dir == "auto"
-            else (FLAGS.reference_cache_dir or None)
-        ),
-    )
-    eval_lib.save_eval_h5(FLAGS.output_path, result)
-    rel_times = result.times - result.times[0]
-    for name in schemes:
-        final = np.asarray(result.mae[name])[:, -1]
-        finite = np.isfinite(final)
-        mae = float(final[finite].mean()) if finite.any() else float("nan")
-        # the member MEDIAN is the robust long-horizon statistic: final-MAE
-        # MEANS are tail-sensitive to which attractor trajectory a drifted
-        # member is compared against (RESULTS.md round-4 "Reference
-        # precision" — quote medians for long-horizon KS comparisons)
-        mae_med = float(np.median(final[finite])) if finite.any() else float("nan")
-        surv = np.asarray(result.survival_time[name])
-        diverged = f" [{int((~finite).sum())}/{finite.size} diverged]" if (~finite).any() else ""
-        extra = ""
-        if FLAGS.mae_survival_threshold > 0:
-            m = np.asarray(result.mae[name])
-            m = np.where(np.isfinite(m), m, np.inf)  # NaN blowup = dead
-            s2 = np.asarray(
-                eval_lib.survival_time_from_mae(
-                    m, rel_times, FLAGS.mae_survival_threshold
-                )
-            )
-            extra = (
-                f" | MAE<{FLAGS.mae_survival_threshold:g} survival "
-                f"median {np.median(s2):.2f}"
-            )
-        print(
-            f"{name:>10}: final MAE median {mae_med:.4f} / mean {mae:.4f}"
-            f"{diverged} | survival "
-            f"median {np.median(surv):.2f} / mean {surv.mean():.2f} "
-            f"(horizon {FLAGS.time_max}){extra}"
+    if FLAGS.seeds:
+        seeds = [int(s) for s in FLAGS.seeds.split(",") if s.strip()]
+        if len(set(seeds)) != len(seeds):
+            raise app.UsageError(f"--seeds has duplicates: {FLAGS.seeds}")
+    else:
+        seeds = [FLAGS.seed]
+    multi = len(seeds) > 1
+    # pooled[scheme] accumulates per-member statistics across eval keys:
+    # the pooled MEDIAN over K x num_samples members is the multi-key
+    # statistic the round-5 eval-key-noise finding calls for
+    pooled_final = {name: [] for name in schemes}
+    pooled_surv = {name: [] for name in schemes}
+    pooled_surv_mae = {name: [] for name in schemes}
+    for seed in seeds:
+        result = eval_lib.evaluate(
+            equation,
+            fine,
+            resample_factor,
+            schemes,
+            key=jax.random.PRNGKey(seed),
+            num_samples=FLAGS.num_samples,
+            time_max=FLAGS.time_max,
+            time_delta=FLAGS.time_delta,
+            warmup_time=FLAGS.warmup_time,
+            correlation_threshold=FLAGS.correlation_threshold,
+            ic_scale=FLAGS.ic_scale,
+            coarse_dt=coarse_dt,
+            reference_cache_dir=(
+                eval_lib.default_reference_cache_dir()
+                if FLAGS.reference_cache_dir == "auto"
+                else (FLAGS.reference_cache_dir or None)
+            ),
         )
+        if multi:
+            root, ext = os.path.splitext(FLAGS.output_path)
+            out_path = f"{root}.key{seed}{ext or '.h5'}"
+        else:
+            out_path = FLAGS.output_path
+        eval_lib.save_eval_h5(out_path, result)
+        rel_times = result.times - result.times[0]
+        prefix = f"[key {seed}] " if multi else ""
+        for name in schemes:
+            final = np.asarray(result.mae[name])[:, -1]
+            finite = np.isfinite(final)
+            mae = float(final[finite].mean()) if finite.any() else float("nan")
+            # the member MEDIAN is the robust long-horizon statistic:
+            # final-MAE MEANS are tail-sensitive to which attractor
+            # trajectory a drifted member is compared against (RESULTS.md
+            # round-4 "Reference precision" — quote medians for
+            # long-horizon KS comparisons)
+            mae_med = float(np.median(final[finite])) if finite.any() else float("nan")
+            surv = np.asarray(result.survival_time[name])
+            diverged = f" [{int((~finite).sum())}/{finite.size} diverged]" if (~finite).any() else ""
+            pooled_final[name].append(final)
+            pooled_surv[name].append(surv)
+            extra = ""
+            if FLAGS.mae_survival_threshold > 0:
+                m = np.asarray(result.mae[name])
+                m = np.where(np.isfinite(m), m, np.inf)  # NaN blowup = dead
+                s2 = np.asarray(
+                    eval_lib.survival_time_from_mae(
+                        m, rel_times, FLAGS.mae_survival_threshold
+                    )
+                )
+                pooled_surv_mae[name].append(s2)
+                extra = (
+                    f" | MAE<{FLAGS.mae_survival_threshold:g} survival "
+                    f"median {np.median(s2):.2f}"
+                )
+            print(
+                f"{prefix}{name:>10}: final MAE median {mae_med:.4f} / "
+                f"mean {mae:.4f}{diverged} | survival "
+                f"median {np.median(surv):.2f} / mean {surv.mean():.2f} "
+                f"(horizon {FLAGS.time_max}){extra}"
+            )
+    if multi:
+        for name in schemes:
+            final = np.concatenate(pooled_final[name])
+            finite = np.isfinite(final)
+            mae_med = (
+                float(np.median(final[finite])) if finite.any() else float("nan")
+            )
+            surv = np.concatenate(pooled_surv[name])
+            per_key = ", ".join(
+                f"{np.median(s):.2f}" for s in pooled_surv[name]
+            )
+            diverged = (
+                f" [{int((~finite).sum())}/{finite.size} diverged]"
+                if (~finite).any() else ""
+            )
+            extra = ""
+            if FLAGS.mae_survival_threshold > 0:
+                s2 = np.concatenate(pooled_surv_mae[name])
+                extra = (
+                    f" | MAE<{FLAGS.mae_survival_threshold:g} survival "
+                    f"median {np.median(s2):.2f}"
+                )
+            print(
+                f"POOLED {len(seeds)} keys {name:>10}: final MAE median "
+                f"{mae_med:.4f}{diverged} | survival median "
+                f"{np.median(surv):.2f} / mean {surv.mean():.2f} over "
+                f"{surv.size} members (per-key medians: {per_key}){extra}"
+            )
 
 
 if __name__ == "__main__":

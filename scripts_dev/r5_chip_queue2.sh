@@ -19,7 +19,7 @@ run_stage() {
 #    zoo comparison). Protocol = RESULTS.md zoo row for ckpt_kdv16:
 #    32 members, horizon 10, ic_scale 0.5, eval seed 0, dt 0.1.
 run_stage rescore_kdv16_seed7_ic05 \
-  env PYTHONPATH=/root/repo timeout 2400 \
+  env PYTHONPATH=/root/repo:${PYTHONPATH:-} timeout 2400 \
   python -m pde_superresolution_tpu.scripts.run_evaluation \
     --checkpoint_dir=/root/repo/artifacts/r5_kdv16_select/seed7 \
     --num_samples=32 --time_max=10 --ic_scale=0.5 --seed=0 \

@@ -135,6 +135,85 @@ class TestFusedRHS:
         with pytest.raises(ValueError):
             rhs(jnp.zeros((16, 100)), {0: jnp.zeros((16, 100, 2))})
 
+    def test_auto_tile_prefers_whole_batch(self):
+        """Small shapes keep the whole-batch tile (grid=1 is the measured-
+        fast layout: Pallas grid iterations serialize on-core)."""
+        assert pk._auto_rhs_tile(128, 128, 24, True, 4) == 128
+        assert pk._auto_rhs_tile(1024, 128, 24, True, 4) == 1024
+
+    def test_auto_tile_splits_config5_ensemble_shape(self):
+        """The exact shape that failed on chip (round 5): batch 10240,
+        nx 128, 24 tap arrays, forced — the untiled block wants ~212 MiB
+        of scoped VMEM (Mosaic reported 111 MiB and failed the AOT
+        compile). The auto tile must be a SUBLANE-multiple divisor whose
+        double-buffered estimate fits half the physical VMEM."""
+        tb = pk._auto_rhs_tile(10240, 128, 24, True, 4)
+        assert tb == 1280
+        assert 10240 % tb == 0 and tb % pk.SUBLANE == 0
+        est = pk._rhs_vmem_bytes(tb, 128, 24, True, buffers=2, itemsize=4)
+        assert est <= pk.PHYSICAL_VMEM_BYTES // 2
+
+    def test_auto_tile_impossible_returns_none(self):
+        # one SUBLANE-row block already exceeds the budget at absurd width
+        assert pk._auto_rhs_tile(16, 8_388_608, 24, True, 4) is None
+
+    def test_over_physical_tile_refused_before_compiling(self, monkeypatch):
+        """An explicit batch_tile whose estimate exceeds physical VMEM must
+        raise BEFORE any Mosaic compile (an over-budget compile can wedge
+        the chip — DECISIONS.md #15). Shrink the fake physical budget so a
+        small test shape trips it."""
+        eq = equations.from_name("ks", conservative=True)
+        grid = Grid(NX, eq.period)
+        model = StencilModel(
+            eq, grid, ModelConfig(num_layers=1, filters=4, stencil_size=6)
+        )
+        offsets_map = {d: l.offsets for d, l in model.constraint_layers.items()}
+        rhs = pk.make_fused_rhs(
+            eq, grid, offsets_map, model._shift, forced=False,
+            batch_tile=BATCH,  # explicit tile: no auto-shrink
+        )
+        u = jnp.zeros((BATCH, NX))
+        coeffs = {
+            d: jnp.zeros((BATCH, NX, len(offsets_map[d]))) for d in offsets_map
+        }
+        monkeypatch.setattr(pk, "PHYSICAL_VMEM_BYTES", 1024)
+        with pytest.raises(ValueError, match="physical"):
+            rhs(u, coeffs)
+
+    def test_auto_tiled_matches_whole_batch(self, monkeypatch):
+        """Force the auto-tiler into the tiled path (tiny fake VMEM) and
+        check the tiled kernel is exact against the untiled one — the
+        kernel is elementwise over batch rows, so tiling must be a no-op
+        on the numbers."""
+        eq = equations.from_name("ks", conservative=True)
+        grid = Grid(NX, eq.period)
+        model = StencilModel(
+            eq, grid, ModelConfig(num_layers=2, filters=8, stencil_size=6)
+        )
+        params = jax.tree.map(
+            lambda leaf: 0.05
+            * jax.random.normal(jax.random.PRNGKey(0), leaf.shape),
+            model.init_params(jax.random.PRNGKey(0)),
+        )
+        batch = 32  # 32 single-buffered == 2x the 8-row double-buffered
+        # estimate, so a budget of exactly est(8, double) forces tb=8
+        u = eq.initial_conditions(jax.random.PRNGKey(1), grid, (batch,))
+        coeffs = model.coefficients(params, u)
+        offsets_map = {
+            d: layer.offsets for d, layer in model.constraint_layers.items()
+        }
+        rhs = pk.make_fused_rhs(
+            eq, grid, offsets_map, model._shift, forced=False, interpret=True
+        )
+        whole = np.asarray(rhs(u, coeffs))
+        n_taps = sum(len(o) for o in offsets_map.values())
+        fake = 2 * pk._rhs_vmem_bytes(8, NX, n_taps, False, 2, 4)
+        assert pk._rhs_vmem_bytes(batch, NX, n_taps, False, 1, 4) > fake // 2
+        monkeypatch.setattr(pk, "PHYSICAL_VMEM_BYTES", fake)
+        assert pk._auto_rhs_tile(batch, NX, n_taps, False, 4) == 8
+        tiled = np.asarray(rhs(u, coeffs))
+        np.testing.assert_array_equal(tiled, whole)
+
 
 class TestFusedRK4:
     @pytest.mark.parametrize("name,cons", [("ks", True), ("kdv", False)])

@@ -150,6 +150,36 @@ class TestCLIPipeline:
         assert os.path.exists(out_path)
         assert "model" in out and "baseline" in out and "weno" in out
 
+    def test_evaluation_multi_key(self, pipeline_dirs):
+        """--seeds runs the protocol under several eval keys and reports a
+        POOLED member median on top of per-key lines (the round-5 eval-key-
+        noise finding: single-key survival medians carry eval-set luck)."""
+        _, ckpt, root = pipeline_dirs
+        out_path = str(root / "eval_mk.h5")
+        out = run_cli(
+            "run_evaluation",
+            [f"--checkpoint_dir={ckpt}", f"--output_path={out_path}",
+             "--num_samples=2", "--time_max=0.5", "--time_delta=0.1",
+             "--seeds=0,7", "--mae_survival_threshold=0.5"],
+        )
+        assert "[key 0]" in out and "[key 7]" in out
+        assert "POOLED 2 keys" in out and "over 4 members" in out
+        assert "per-key medians" in out
+        # each key's full EvalResult lands in its own file; the plain
+        # output_path is NOT written in multi-key mode
+        assert os.path.exists(str(root / "eval_mk.key0.h5"))
+        assert os.path.exists(str(root / "eval_mk.key7.h5"))
+        assert not os.path.exists(out_path)
+
+    def test_evaluation_multi_key_rejects_duplicates(self, pipeline_dirs):
+        _, ckpt, root = pipeline_dirs
+        run_cli(
+            "run_evaluation",
+            [f"--checkpoint_dir={ckpt}",
+             f"--output_path={root / 'dup.h5'}", "--seeds=3,3"],
+            expect_error="duplicates",
+        )
+
     def test_analysis_coefficients_figure(self, pipeline_dirs):
         """run_analysis --checkpoint_dir emits the adaptive-coefficients
         figure on top of the four EvalResult figures."""
